@@ -1,0 +1,368 @@
+"""Typed configuration system: single 3-section YAML → dataclasses.
+
+Capability parity with the reference config layer
+(`utils/user_config_reader.py:10-66`, `preprocessor/configs.py:4-26`,
+`preprocessor/radarscenes/configs.py:5-61`, `preprocessor/nuscenes/configs.py:6-48`,
+`gnn/configs.py:4-100`, `postprocessor/configs.py:4-27` in /root/reference).
+
+The YAML schema is identical (CREATE_DATASET / TRAIN / EVALUATE sections with
+DATASET_PROCESSING, GRAPH_CONSTRUCTION, MODEL_ARCHITECTURE, TRAINING,
+POSTPROCESSING subsections) so reference configuration files work verbatim.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+import yaml
+
+
+def dataclass_from_dict(data_class, d):
+    """Recursively converts a dict into a dataclass instance.
+
+    Mirrors `user_config_reader.dataclass_from_dict` (reference
+    `utils/user_config_reader.py:10-17`): unknown leaf values pass through.
+    """
+    try:
+        fieldtypes = {f.name: f.type for f in dataclasses.fields(data_class)}
+        return data_class(**{f: dataclass_from_dict(fieldtypes[f], d[f]) for f in d})
+    except Exception:
+        return d
+
+
+# --------------------------------------------------------------------------
+# Graph construction
+# --------------------------------------------------------------------------
+
+@dataclass
+class GraphConstructionConfiguration:
+    """Settings for building a graph from a point cloud.
+
+    Parity: `preprocessor/configs.py:4-26`.
+    """
+
+    graph_construction_algorithm: str       # "knn" | "radius"
+    graph_construction_settings: dict       # {"k": int, "r": float}
+
+    node_features: list
+    edge_features: list
+    edge_mode: str                          # "directed" | "undirected"
+
+    distance_definition: str                # "X" | "XV"
+
+    def __post_init__(self):
+        if self.graph_construction_algorithm == "knn":
+            self.k = self.graph_construction_settings.get("k")
+            self.r = None
+        elif self.graph_construction_algorithm == "radius":
+            self.r = self.graph_construction_settings.get("r")
+            self.k = None
+        else:
+            raise ValueError("Invalid graph construction algorithm selected")
+
+
+# --------------------------------------------------------------------------
+# Dataset creation
+# --------------------------------------------------------------------------
+
+@dataclass
+class RadarScenesDatasetConfiguration:
+    """Settings for creating point-cloud frames from RadarScenes.
+
+    Parity: `preprocessor/radarscenes/configs.py:5-21`.
+    """
+
+    time_per_point_cloud_frame: float
+    crop_point_cloud: bool
+    crop_settings: dict
+    bounding_boxes_aligned: bool
+    bb_invariance: str                      # "none" | "translation" | "en"
+    create_small_subset: bool
+    subset_settings: dict = None
+
+    deterministic: bool = False
+    seed: int = 0
+
+    parallelize: bool = False
+
+
+# The 28 hard-coded held-out test sequences of the reference standard split
+# (`preprocessor/radarscenes/configs.py:42-44`). Indices into the RadarScenes
+# "training" sequence list; the remaining training sequences become "train".
+RADARSCENES_TEST_SPLIT_INDICES = frozenset({
+    4, 6, 11, 16, 18, 24, 33, 34, 36, 37, 42, 44, 48, 52,
+    53, 60, 63, 67, 73, 84, 86, 92, 94, 100, 108, 119, 124, 126,
+})
+
+
+@dataclass
+class RadarScenesSplitConfiguration:
+    """Train/test/validate split over RadarScenes sequences.
+
+    Parity: `preprocessor/radarscenes/configs.py:24-61`. Instead of requiring
+    the `radar_scenes` SDK, the sequences.json is parsed directly: sequences
+    whose "category" is "train" form train+test (split via
+    RADARSCENES_TEST_SPLIT_INDICES), category "validation" forms validate.
+    """
+
+    sequence_dict: dict
+
+    def __init__(self, sequence_file: str = None, standard_split: bool = True,
+                 train_sequences: list = (), test_sequences: list = (),
+                 validate_sequences: list = ()):
+        if standard_split:
+            import json
+            with open(sequence_file) as f:
+                seq_meta = json.load(f)["sequences"]
+            train_val = [name for name, meta in seq_meta.items()
+                         if meta.get("category") == "train"]
+            validate = [name for name, meta in seq_meta.items()
+                        if meta.get("category") == "validation"]
+            all_idx = set(range(len(train_val)))
+            idx_test = set(RADARSCENES_TEST_SPLIT_INDICES)
+            idx_train = all_idx - idx_test
+            self.sequence_dict = {
+                "train": [train_val[i] for i in idx_train],
+                "test": [train_val[i] for i in idx_test],
+                "validate": validate,
+            }
+        else:
+            self.sequence_dict = {
+                "train": list(train_sequences),
+                "test": list(test_sequences),
+                "validate": list(validate_sequences),
+            }
+
+
+@dataclass
+class NuScenesDatasetConfiguration:
+    """Settings for creating point-cloud frames from nuScenes.
+
+    Parity: `preprocessor/nuscenes/configs.py:6-19`.
+    """
+
+    version: str = "v1.0-trainval"
+    nsweeps: int = 1
+    crop_point_cloud: bool = False
+    crop_settings: dict = None
+    wlh_factor: float = 1.0
+    wlh_offset: float = 0.0
+    bounding_boxes_aligned: bool = False
+    bb_invariance: str = "translation"
+    deterministic: bool = False
+    seed: int = 0
+
+
+@dataclass
+class NuScenesSplitConfiguration:
+    """Scene-name split for nuScenes. Parity: `preprocessor/nuscenes/configs.py:22-48`."""
+
+    sequence_dict: dict
+
+    def __init__(self, version: str = "v1.0-mini"):
+        from radargnn_tpu.data.nuscenes import splits
+        if version == "v1.0-mini":
+            self.sequence_dict = {
+                "train": list(sorted(set(splits.mini_train))),
+                "validate": list(sorted(set(splits.mini_val))),
+            }
+        elif version == "v1.0-trainval":
+            self.sequence_dict = {
+                "train": list(sorted(set(splits.train_detect + splits.train_track))),
+                "validate": list(sorted(set(splits.val))),
+            }
+        elif version == "v1.0-test":
+            self.sequence_dict = {"test": list(sorted(set(splits.test)))}
+        else:
+            raise ValueError(
+                f"The given dataset version {version} is not a valid version "
+                f"of the nuScenes Dataset!")
+
+
+# --------------------------------------------------------------------------
+# Model / training
+# --------------------------------------------------------------------------
+
+@dataclass
+class GNNArchitectureConfig:
+    """GNN model architecture. Parity: `gnn/configs.py:4-30`."""
+
+    node_feature_dimension: int
+    edge_feature_dimension: int
+
+    conv_layer_dimensions: list
+    classification_head_layer_dimensions: list
+    regression_head_layer_dimensions: list
+
+    initial_node_feature_embedding: bool = False
+    initial_edge_feature_embedding: bool = False
+    node_feature_embedding_layer_dimensions: list = None
+    edge_feature_embedding_layer_dimensions: list = None
+    conv_layer_type: str = "MPNNConv"
+
+    batch_norm_in_mlps: bool = True
+    conv_pre_mlp_layer_number: int = 1
+    conv_post_mlp_layer_number: int = 1
+    conv_use_edge_encoder: bool = False
+    aggregation_function: str = "max"
+
+
+@dataclass
+class TrainingConfig:
+    """Training hyper-parameters. Parity: `gnn/configs.py:33-100`."""
+
+    dataset: str
+
+    learning_rate: float
+    epochs: int
+    batch_size: int
+    shuffle: bool
+
+    bg_index: int
+
+    deterministic: bool = False
+    seed: int = 0
+
+    class_weights: dict = field(default_factory=dict)
+    set_weights_according_radar_scenes_distribution: bool = False
+    val_class_weights: dict = field(default_factory=dict)
+
+    bb_loss_weight: float = 1
+    cls_loss_weight: float = 1
+
+    regularization_strength: float = 1e-4
+    reduce_lr_on_plateau_factor: float = 0.5
+    reduce_lr_on_plateau_patience: int = 0
+    exponential_lr_decay_factor: float = 0.0
+
+    early_stopping_patience: int = 10
+
+    adapt_orientation_angle: bool = False
+
+    # ---- TPU-native extensions (no reference equivalent) -------------------
+    # Largest node count per padded graph bucket; edges pad to k*max_nodes.
+    max_nodes_per_graph: int = 0            # 0 → derive from data
+    # Mid-training checkpointing interval in epochs (0 = end-of-training only).
+    checkpoint_every_epochs: int = 0
+    # Mesh shape for pjit: {"data": -1} style dict; empty → single device.
+    mesh_axes: dict = field(default_factory=dict)
+    # Compute dtype for conv stacks ("float32" | "bfloat16").
+    compute_dtype: str = "float32"
+    # Use Pallas fused kernels for message passing where available.
+    use_pallas: bool = False
+
+    def __post_init__(self):
+        if self.dataset == "radarscenes":
+            self.class_weights.setdefault("car", 1)
+            self.class_weights.setdefault("pedestrian", 1)
+            self.class_weights.setdefault("pedestrian_group", 1)
+            self.class_weights.setdefault("two_wheeler", 1)
+            self.class_weights.setdefault("large_vehicle", 1)
+            self.class_weights.setdefault("background", 0.05)
+        elif self.dataset == "nuscenes":
+            self.class_weights.setdefault("background", 0.05)
+            self.class_weights.setdefault("barrier", 1)
+            self.class_weights.setdefault("bicycle", 1)
+            self.class_weights.setdefault("bus", 1)
+            self.class_weights.setdefault("car", 1)
+            self.class_weights.setdefault("construction", 1)
+            self.class_weights.setdefault("motorcycle", 1)
+            self.class_weights.setdefault("pedestrian", 1)
+            self.class_weights.setdefault("trafficcone", 1)
+            self.class_weights.setdefault("trailer", 1)
+            self.class_weights.setdefault("truck", 1)
+        else:
+            raise ValueError("Only the radarscenes and nuscenes dataset are supported!")
+
+        if self.val_class_weights:
+            assert set(self.class_weights.keys()) == set(self.val_class_weights.keys())
+        else:
+            self.val_class_weights = self.class_weights
+
+
+# --------------------------------------------------------------------------
+# Postprocessing / evaluation
+# --------------------------------------------------------------------------
+
+@dataclass
+class PostProcessingConfiguration:
+    """Postprocessing + evaluation settings. Parity: `postprocessor/configs.py:4-27`."""
+
+    split: str
+
+    iou_for_nms: float
+    min_object_score: dict
+    max_score_for_background: float
+
+    iou_for_mAP: float = 0.3
+    use_point_iou: bool = False
+
+    bg_index: int = 5
+
+    bb_invariance: str = "translation"
+    adapt_orientation_angle: bool = False
+
+    get_mAP: bool = True
+    get_confusion: bool = True
+    get_segmentation_f1: bool = True
+    f1_class_averaging: Optional[str] = None
+
+
+# --------------------------------------------------------------------------
+# Reader
+# --------------------------------------------------------------------------
+
+def _dataset_config_selector(dataset: str):
+    return {
+        "radarscenes": RadarScenesDatasetConfiguration,
+        "nuscenes": NuScenesDatasetConfiguration,
+    }[dataset]
+
+
+class ConfigToDataClassMapping:
+    """Parity: `utils/user_config_reader.py:20-37`."""
+
+    @staticmethod
+    def get_mapping_dicts(dataset: str):
+        dataclass_mapping_dict = {
+            "DATASET_PROCESSING": _dataset_config_selector(dataset),
+            "GRAPH_CONSTRUCTION": GraphConstructionConfiguration,
+            "MODEL_ARCHITECTURE": GNNArchitectureConfig,
+            "TRAINING": TrainingConfig,
+            "POSTPROCESSING": PostProcessingConfiguration,
+        }
+        supertask_mapping_dict = {
+            "DATASET_PROCESSING": "CREATE_DATASET",
+            "GRAPH_CONSTRUCTION": "CREATE_DATASET",
+            "MODEL_ARCHITECTURE": "TRAIN",
+            "TRAINING": "TRAIN",
+            "POSTPROCESSING": "EVALUATE",
+        }
+        return dataclass_mapping_dict, supertask_mapping_dict
+
+
+class UserConfigurationReader:
+    """YAML → dataclass reader. Parity: `utils/user_config_reader.py:40-66`."""
+
+    @staticmethod
+    def get_config_object(config_subset_name: str, config_dict: dict):
+        dataset = config_dict["CREATE_DATASET"]["dataset"]
+        dataclass_mapping, supertask_mapping = \
+            ConfigToDataClassMapping.get_mapping_dicts(dataset)
+
+        super_task = supertask_mapping.get(config_subset_name)
+        subset_config_dict = config_dict.get(super_task).get(config_subset_name)
+
+        config = dataclass_from_dict(
+            dataclass_mapping.get(config_subset_name), subset_config_dict)
+
+        if not isinstance(config, dataclass_mapping.get(config_subset_name)):
+            raise ValueError("Conversion of config file to dataclass failed.")
+        return config
+
+    @staticmethod
+    def read_config_file(path: str) -> dict:
+        with open(path) as f:
+            return yaml.safe_load(f)

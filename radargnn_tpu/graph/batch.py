@@ -1,0 +1,173 @@
+"""GraphBatch — the static-shape padded graph container (replaces PyG `Data`).
+
+The reference stores one variable-size PyG `Data(x, edge_index, edge_attr, y,
+pos, vel)` per frame and batches them block-diagonally
+(`utils/data_handling.py:30` in /root/reference). On TPU, variable shapes
+force recompilation and break MXU tiling, so this framework instead pads every
+graph to a bucket size and stacks G graphs along a leading axis:
+
+    node_feat [G, N, Dn]   edge_feat [G, E, De]
+    senders   [G, E]       receivers [G, E]        (node indices within graph)
+    node_mask [G, N]       edge_mask [G, E]
+    labels    [G, N]       boxes     [G, N, B]     (NaN for background nodes)
+    pos       [G, N, 2]    vel       [G, N, 2]
+
+Compute flattens to [G*N] / [G*E] with per-graph index offsets (a reshape — no
+data movement), which recovers the block-diagonal batch semantics including
+batch-wide BatchNorm statistics. The leading G axis is the data-parallel
+sharding axis; the E axis is the edge-partitioning (model) axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class GraphBatch:
+    """Batched padded graphs. All arrays have the leading G axis."""
+
+    node_feat: jnp.ndarray        # [G, N, Dn] float
+    edge_feat: jnp.ndarray        # [G, E, De] float
+    senders: jnp.ndarray          # [G, E] int32
+    receivers: jnp.ndarray        # [G, E] int32
+    node_mask: jnp.ndarray        # [G, N] bool
+    edge_mask: jnp.ndarray        # [G, E] bool
+    labels: jnp.ndarray           # [G, N] int32
+    boxes: jnp.ndarray            # [G, N, B] float (NaN for bg, like reference y)
+    pos: jnp.ndarray              # [G, N, 2] float
+    vel: jnp.ndarray              # [G, N, 2] float
+
+    @property
+    def num_graphs(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def max_nodes(self) -> int:
+        return self.node_feat.shape[1]
+
+    @property
+    def max_edges(self) -> int:
+        return self.senders.shape[1]
+
+    # ---- flattened (block-diagonal) views --------------------------------
+    def flat_senders(self) -> jnp.ndarray:
+        """[G*E] senders with per-graph offsets — global node indices."""
+        g, e = self.senders.shape
+        offset = (jnp.arange(g, dtype=jnp.int32) * self.max_nodes)[:, None]
+        return (self.senders + offset).reshape(-1)
+
+    def flat_receivers(self) -> jnp.ndarray:
+        g, e = self.receivers.shape
+        offset = (jnp.arange(g, dtype=jnp.int32) * self.max_nodes)[:, None]
+        return (self.receivers + offset).reshape(-1)
+
+    def flat_nodes(self) -> jnp.ndarray:
+        return self.node_feat.reshape(-1, self.node_feat.shape[-1])
+
+    def flat_edges(self) -> jnp.ndarray:
+        return self.edge_feat.reshape(-1, self.edge_feat.shape[-1])
+
+    def num_valid_nodes(self) -> jnp.ndarray:
+        return jnp.sum(self.node_mask)
+
+    def num_valid_edges(self) -> jnp.ndarray:
+        return jnp.sum(self.edge_mask)
+
+
+@dataclasses.dataclass
+class GraphSample:
+    """One un-padded graph on the host (numpy). The unit the data pipeline
+    produces; `pad_sample` + `stack_samples` turn lists of these into a
+    GraphBatch."""
+
+    node_feat: np.ndarray         # [n, Dn]
+    edge_feat: np.ndarray         # [e, De]
+    senders: np.ndarray           # [e]
+    receivers: np.ndarray         # [e]
+    labels: np.ndarray            # [n]
+    boxes: np.ndarray             # [n, B]
+    pos: np.ndarray               # [n, 2]
+    vel: np.ndarray               # [n, 2]
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_feat.shape[0]
+
+    @property
+    def num_edges(self) -> int:
+        return self.senders.shape[0]
+
+    def save_npz(self, path: str) -> None:
+        np.savez_compressed(
+            path, node_feat=self.node_feat, edge_feat=self.edge_feat,
+            senders=self.senders, receivers=self.receivers, labels=self.labels,
+            boxes=self.boxes, pos=self.pos, vel=self.vel)
+
+    @staticmethod
+    def load_npz(path: str) -> "GraphSample":
+        with np.load(path) as z:
+            return GraphSample(**{k: z[k] for k in (
+                "node_feat", "edge_feat", "senders", "receivers", "labels",
+                "boxes", "pos", "vel")})
+
+
+def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
+               bg_index: int) -> dict:
+    """Pads a GraphSample to (max_nodes, max_edges); returns plain numpy dict.
+
+    Padded nodes get label `bg_index` and NaN boxes; padded edges point at
+    node 0 and are masked out.
+    """
+    n, e = sample.num_nodes, sample.num_edges
+    if n > max_nodes or e > max_edges:
+        raise ValueError(f"sample ({n} nodes, {e} edges) exceeds bucket "
+                         f"({max_nodes}, {max_edges})")
+
+    def pad_nodes(a, fill=0.0):
+        out = np.full((max_nodes,) + a.shape[1:], fill, dtype=np.float32)
+        out[:n] = a
+        return out
+
+    boxes = np.full((max_nodes, sample.boxes.shape[1]), np.nan, dtype=np.float32)
+    boxes[:n] = sample.boxes
+
+    labels = np.full((max_nodes,), bg_index, dtype=np.int32)
+    labels[:n] = sample.labels
+
+    senders = np.zeros((max_edges,), dtype=np.int32)
+    receivers = np.zeros((max_edges,), dtype=np.int32)
+    senders[:e] = sample.senders
+    receivers[:e] = sample.receivers
+
+    node_mask = np.zeros((max_nodes,), dtype=bool)
+    node_mask[:n] = True
+    edge_mask = np.zeros((max_edges,), dtype=bool)
+    edge_mask[:e] = True
+
+    return dict(
+        node_feat=pad_nodes(sample.node_feat),
+        edge_feat=np.concatenate([
+            sample.edge_feat.astype(np.float32),
+            np.zeros((max_edges - e, sample.edge_feat.shape[1]), np.float32)],
+            axis=0),
+        senders=senders, receivers=receivers,
+        node_mask=node_mask, edge_mask=edge_mask,
+        labels=labels, boxes=boxes,
+        pos=pad_nodes(sample.pos), vel=pad_nodes(sample.vel),
+    )
+
+
+def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
+                  max_edges: Optional[int] = None) -> GraphBatch:
+    """Pads and stacks host samples into a device GraphBatch."""
+    if max_edges is None:
+        max_edges = max(s.num_edges for s in samples)
+    padded = [pad_sample(s, max_nodes, max_edges, bg_index) for s in samples]
+    arrays = {k: np.stack([p[k] for p in padded]) for k in padded[0]}
+    return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()})

@@ -1,0 +1,197 @@
+"""Vectorized SE(n)-invariant node / edge feature extraction.
+
+Replaces the reference's dominant preprocessing hot loop — the per-edge Python
+loop in `GeometricGraph.extract_node_pair_features`
+(`graph_constructor/graph.py:139-223`) and the scalar point-pair-feature
+function (`graph_constructor/features.py:6-122`) — with one gather plus
+vectorized trig over all edges at once. Works with numpy (host dataset
+creation) and jax.numpy (on-device pipelines): pass the array namespace `xp`.
+
+Semantics preserved exactly:
+  * zero-velocity vectors stay zero after normalization (→ 90° angles via
+    arccos(0)),
+  * dot products are clamped to [-1, 1] before arccos (the reference's
+    rounding guard, `features.py:49-56`),
+  * coincident points give a zero connection vector,
+  * all angles in degrees,
+  * undirected mode takes min over ±connection per velocity, then min/max.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+_EDGE_FEATURE_DIMS = {
+    "point_pair_features": 4,
+    "spatial_euclidean_distance": 1,
+    "velocity_euclidean_distance": 1,
+    "relative_position": 2,
+    "relative_velocity": 2,
+}
+
+_NODE_FEATURE_DIMS = {
+    "rcs": 1,
+    "time_index": 1,
+    "degree": 1,
+    "velocity_vector_length": 1,
+    "velocity_vector": 2,
+    "spatial_coordinates": 2,
+}
+
+
+def edge_feature_dimension(features: List[str]) -> int:
+    return sum(_EDGE_FEATURE_DIMS[f] for f in features)
+
+
+def node_feature_dimension(features: List[str]) -> int:
+    return sum(_NODE_FEATURE_DIMS[f] for f in features)
+
+
+def _safe_normalize(v, xp):
+    """v / ||v|| with exact-zero vectors mapped to zero (reference `features.py:23-40`)."""
+    norm = xp.linalg.norm(v, axis=-1, keepdims=True)
+    return xp.where(norm == 0, xp.zeros_like(v), v / xp.where(norm == 0, 1.0, norm))
+
+
+def _angle_deg(a_norm, b_norm, xp):
+    """Angle in degrees between pre-normalized vectors, clamped dot."""
+    dot = xp.sum(a_norm * b_norm, axis=-1)
+    dot = xp.clip(dot, -1.0, 1.0)
+    return xp.degrees(xp.arccos(dot))
+
+
+def point_pair_features(p1, p2, v1, v2, mode: str, xp=np):
+    """E(n)-equivariant point-pair metrics for all edges at once.
+
+    Args:
+        p1, p2: [E, D] positions of sender (p1) / receiver (p2) per edge.
+        v1, v2: [E, D] velocities.
+        mode: "directed" | "undirected".
+
+    Returns:
+        [E, 4]: (distance, angle(v1,v2), theta_d_v_min, theta_d_v_max) degrees.
+
+    Parity: `graph_constructor/features.py:6-122`. In directed mode the
+    reference returns (theta_d_v1, theta_d_v2) under the min/max names.
+    """
+    v1n = _safe_normalize(v1, xp)
+    v2n = _safe_normalize(v2, xp)
+
+    d = xp.linalg.norm(p1 - p2, axis=-1)
+    theta_v1_v2 = _angle_deg(v1n, v2n, xp)
+
+    if mode == "directed":
+        d_vec = _safe_normalize(p2 - p1, xp)
+        theta_d_v_min = _angle_deg(v1n, d_vec, xp)
+        theta_d_v_max = _angle_deg(v2n, d_vec, xp)
+    elif mode == "undirected":
+        d1 = _safe_normalize(p1 - p2, xp)
+        d2 = _safe_normalize(p2 - p1, xp)
+        theta_d_v1 = xp.minimum(_angle_deg(v1n, d1, xp), _angle_deg(v1n, d2, xp))
+        theta_d_v2 = xp.minimum(_angle_deg(v2n, d1, xp), _angle_deg(v2n, d2, xp))
+        theta_d_v_min = xp.minimum(theta_d_v1, theta_d_v2)
+        theta_d_v_max = xp.maximum(theta_d_v1, theta_d_v2)
+    else:
+        raise ValueError(f"Invalid edge mode '{mode}'")
+
+    return xp.stack([d, theta_v1_v2, theta_d_v_min, theta_d_v_max], axis=-1)
+
+
+def edge_features(features: List[str], edge_mode: str,
+                  pos, vel, senders, receivers, xp=np):
+    """Assemble the per-edge feature matrix in config order.
+
+    pos/vel: [N, 2] node arrays; senders/receivers: [E] int edge endpoints
+    (sender = the node whose neighborhood query created the edge — the
+    reference's `E[:, 0]`). Returns [E, sum(dims)].
+
+    Parity: `graph_constructor/graph.py:139-223` (X_i := pos[senders],
+    X_j := pos[receivers]).
+    """
+    p1, p2 = pos[senders], pos[receivers]
+    v1, v2 = vel[senders], vel[receivers]
+
+    cols = []
+    for feature in features:
+        if feature == "point_pair_features":
+            cols.append(point_pair_features(p1, p2, v1, v2, edge_mode, xp))
+        elif feature == "spatial_euclidean_distance":
+            cols.append(xp.linalg.norm(p1 - p2, axis=-1)[..., None])
+        elif feature == "velocity_euclidean_distance":
+            cols.append(xp.linalg.norm(v1 - v2, axis=-1)[..., None])
+        elif feature == "relative_position":
+            rel = p1 - p2
+            if edge_mode == "undirected":
+                rel = xp.abs(rel)
+            cols.append(rel)
+        elif feature == "relative_velocity":
+            rel = v1 - v2
+            if edge_mode == "undirected":
+                rel = xp.abs(rel)
+            cols.append(rel)
+        else:
+            raise ValueError(f"Invalid edge feature '{feature}' specified")
+    return xp.concatenate(cols, axis=-1)
+
+
+def node_degrees(senders, receivers, num_nodes: int,
+                 edge_mask: Optional[np.ndarray] = None, xp=np):
+    """Undirected degree per node: number of distinct neighbors over the
+    symmetrized adjacency.
+
+    Parity: `Graph.get_degree` (`graph_constructor/graph.py:93-96`) which uses
+    networkx on A (undirected view — an edge in either direction counts once).
+    Vectorized as a dense boolean adjacency OR its transpose.
+    """
+    ones = xp.ones(senders.shape, dtype=bool) if edge_mask is None else edge_mask
+    adj = xp.zeros((num_nodes, num_nodes), dtype=bool)
+    if xp is np:
+        adj[senders[ones], receivers[ones]] = True
+    else:
+        adj = adj.at[senders, receivers].max(ones)
+    sym = adj | adj.T
+    return xp.sum(sym, axis=1)
+
+
+def node_features(features: List[str], pos, vel, inv_features: dict,
+                  senders=None, receivers=None, edge_mask=None, xp=np):
+    """Assemble the per-node feature matrix in config order.
+
+    inv_features: dict of [N, 1] invariant features ("rcs", "time_index", ...).
+    Degree is computed on demand from the edges.
+
+    Parity: `GeometricGraph.extract_single_node_features`
+    (`graph_constructor/graph.py:225-275`).
+    """
+    n = pos.shape[0]
+    cols = []
+    for feature in features:
+        if feature in ("rcs", "time_index"):
+            feat = inv_features[feature]
+            feat = xp.reshape(feat, (n, 1))
+        elif feature == "degree":
+            deg = node_degrees(senders, receivers, n, edge_mask, xp)
+            feat = xp.reshape(deg, (n, 1))
+        elif feature == "velocity_vector_length":
+            feat = xp.linalg.norm(vel, axis=-1)[..., None]
+        elif feature == "velocity_vector":
+            feat = vel
+        elif feature == "spatial_coordinates":
+            feat = pos
+        else:
+            raise ValueError(f"Invalid node feature '{feature}' specified")
+        cols.append(feat)
+    return xp.concatenate(cols, axis=-1)
+
+
+def time_index_feature(timestamps, xp=np):
+    """Densified time index: rank of each point's timestamp among the unique
+    timestamps of the frame. Parity: `dataset_creation.py:214-223`."""
+    if xp is not np:
+        raise NotImplementedError("time_index is computed host-side")
+    ts = np.reshape(timestamps, (-1,))
+    uniq = np.unique(ts)
+    idx = np.searchsorted(uniq, ts)
+    return idx.astype(np.float64).reshape(-1, 1)

@@ -1,0 +1,159 @@
+"""Graph construction kernels: kNN / radius / 1-NN, on-device and host.
+
+Replaces sklearn's ball-tree `kneighbors_graph` / `radius_neighbors_graph`
+(C hot loop at `graph_constructor/graph.py:57,73` and 1-NN lookups at
+`preprocessor/radarscenes/dataset_creation.py:316`,
+`postprocessor/postprocessing.py:234,469` in /root/reference).
+
+TPU design: radar frames are ≤ a few thousand points, so a dense O(N²)
+pairwise-distance matrix + `lax.top_k` maps straight onto the MXU/VPU and
+beats tree construction by a wide margin. Static shapes: the device variants
+take padded inputs with a validity mask and emit fixed-size edge arrays with
+an edge mask.
+
+Edge conventions (identical to the reference, `dataset_creation.py:805`):
+an edge (s, r) means r is one of the k nearest neighbors of s; messages flow
+s → r, i.e. aggregation happens at the *receiver* r (PyG source_to_target).
+
+Host variants return the exact sklearn-compatible edge list: rows sorted by
+(sender, receiver) ascending — the CSR nonzero order the reference stores.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_INF = jnp.inf
+
+
+def _pairwise_sq_dists(x: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Squared euclidean distances [N,N]; self and invalid partners → +inf."""
+    # ||a-b||² = ||a||² + ||b||² - 2ab ; computed via a single MXU matmul.
+    sq = jnp.sum(x * x, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    d2 = jnp.maximum(d2, 0.0)
+    n = x.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    d2 = jnp.where(eye, _INF, d2)
+    if valid is not None:
+        d2 = jnp.where(valid[None, :], d2, _INF)
+        d2 = jnp.where(valid[:, None], d2, _INF)
+    return d2
+
+
+@partial(jax.jit, static_argnames=("k",))
+def knn_graph(x: jnp.ndarray, k: int,
+              valid: Optional[jnp.ndarray] = None
+              ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """k-nearest-neighbor edges for a (padded) point set.
+
+    Args:
+        x: [N, D] positions (any D — the reference's "X" or "XV" distance basis).
+        k: neighbors per node (static).
+        valid: [N] bool node mask (padded rows False).
+
+    Returns:
+        senders [N*k] int32, receivers [N*k] int32, edge_mask [N*k] bool.
+        Edge i*k+j connects sender i to its j-th nearest neighbor.
+        Invalid edges (padded nodes, or fewer than k valid partners) are
+        masked False and point at node 0.
+    """
+    n = x.shape[0]
+    d2 = _pairwise_sq_dists(x.astype(jnp.float32), valid)
+    kk = min(k, n)
+    neg_top, idx = jax.lax.top_k(-d2, kk)              # [N, kk]
+    if kk < k:                                          # fewer candidates than k
+        pad = ((0, 0), (0, k - kk))
+        neg_top = jnp.pad(neg_top, pad, constant_values=-_INF)
+        idx = jnp.pad(idx, pad)
+    finite = jnp.isfinite(neg_top)                      # neighbor actually exists
+    senders = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, k))
+    receivers = idx.astype(jnp.int32)
+    edge_mask = finite
+    if valid is not None:
+        edge_mask = edge_mask & valid[:, None]
+    receivers = jnp.where(edge_mask, receivers, 0)
+    return senders.reshape(-1), receivers.reshape(-1), edge_mask.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("max_degree",))
+def radius_graph(x: jnp.ndarray, r: float, max_degree: int,
+                 valid: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Radius-neighborhood edges (dist <= r), padded to `max_degree` per node.
+
+    Neighbors beyond `max_degree` are dropped nearest-first-kept (the
+    max_degree closest are retained).
+    """
+    n = x.shape[0]
+    d2 = _pairwise_sq_dists(x.astype(jnp.float32), valid)
+    neg_top, idx = jax.lax.top_k(-d2, max_degree)
+    within = (-neg_top) <= (r * r)
+    finite = jnp.isfinite(neg_top)
+    senders = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                               (n, max_degree))
+    edge_mask = within & finite
+    if valid is not None:
+        edge_mask = edge_mask & valid[:, None]
+    receivers = jnp.where(edge_mask, idx.astype(jnp.int32), 0)
+    return senders.reshape(-1), receivers.reshape(-1), edge_mask.reshape(-1)
+
+
+@jax.jit
+def nearest_neighbor(x: jnp.ndarray,
+                     valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Index of each point's nearest neighbor (1-NN, self excluded). [N] int32."""
+    d2 = _pairwise_sq_dists(x.astype(jnp.float32), valid)
+    return jnp.argmin(d2, axis=1).astype(jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# Host (numpy) variants — exact sklearn-edge-order parity for the offline
+# dataset-creation pipeline and its tests.
+# --------------------------------------------------------------------------
+
+def _pairwise_sq_dists_np(x: np.ndarray) -> np.ndarray:
+    sq = np.sum(x * x, axis=-1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (x @ x.T)
+    np.fill_diagonal(d2, np.inf)
+    return np.maximum(d2, 0.0, out=d2, where=~np.isinf(d2))
+
+
+def knn_edges_host(x: np.ndarray, k: int) -> np.ndarray:
+    """Edge list [(sender, receiver)], rows grouped by sender, neighbors in
+    ascending-distance order within each row.
+
+    Matches `sklearn.neighbors.kneighbors_graph(mode='connectivity',
+    include_self=False).nonzero()` order used by the reference
+    (`graph_constructor/graph.py:57-63`): the CSR stores neighbor columns in
+    kneighbors (distance-sorted) order, and `.nonzero()` preserves it.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    k = min(k, n - 1)
+    d2 = _pairwise_sq_dists_np(x)
+    part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    part_d = np.take_along_axis(d2, part, axis=1)
+    order = np.argsort(part_d, axis=1, kind="stable")
+    idx = np.take_along_axis(part, order, axis=1)       # distance ascending
+    senders = np.repeat(np.arange(n), k)
+    return np.stack([senders, idx.reshape(-1)], axis=1)
+
+
+def radius_edges_host(x: np.ndarray, r: float) -> np.ndarray:
+    """Edge list for dist <= r, sorted by (sender, receiver); self excluded."""
+    x = np.asarray(x, dtype=np.float64)
+    d2 = _pairwise_sq_dists_np(x)
+    s, t = np.nonzero(d2 <= r * r)
+    return np.stack([s, t], axis=1)
+
+
+def nearest_neighbor_host(x: np.ndarray) -> np.ndarray:
+    """1-NN index per point (self excluded); numpy."""
+    d2 = _pairwise_sq_dists_np(np.asarray(x, dtype=np.float64))
+    return np.argmin(d2, axis=1)

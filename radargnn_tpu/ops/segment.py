@@ -1,0 +1,92 @@
+"""Masked gather / segment-reduction primitives — the core message-passing ops.
+
+These replace the torch-scatter / torch-sparse CUDA kernels the reference
+depends on inside PyG `MessagePassing.propagate` (`gnn/mpnn_layers.py:88,173`
+in /root/reference). Semantics match torch-scatter:
+
+  * empty segments (nodes with no valid incoming edge) produce 0 — for every
+    reduction, including max (torch-scatter fills untouched rows with 0),
+  * non-empty max segments give the true max even when all messages are
+    negative (no clamping at 0),
+  * mean divides by the valid-edge count.
+
+All functions take an optional boolean `mask` over the edge axis so that
+statically padded edge arrays never contaminate the reduction. Pure-jnp
+implementations (XLA fuses these into surrounding matmuls well); a Pallas
+fused edge-MLP + segment-max kernel lives in `radargnn_tpu.ops.pallas`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_NEG = -jnp.inf
+
+
+def gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x[idx] along the leading axis (edge-wise node-feature gather)."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray], fill) -> jnp.ndarray:
+    if mask is None:
+        return data
+    shape = mask.shape + (1,) * (data.ndim - mask.ndim)
+    return jnp.where(mask.reshape(shape), data, fill)
+
+
+def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    data = _apply_mask(data, mask, 0)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def segment_count(segment_ids: jnp.ndarray, num_segments: int,
+                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Number of (valid) edges per segment; int32 [num_segments]."""
+    ones = jnp.ones(segment_ids.shape, dtype=jnp.int32)
+    if mask is not None:
+        ones = jnp.where(mask, ones, 0)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+
+
+def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-segment max; empty segments → 0 (torch-scatter parity)."""
+    filled = _apply_mask(data, mask, _NEG)
+    out = jax.ops.segment_max(filled, segment_ids, num_segments=num_segments)
+    has = segment_count(segment_ids, num_segments, mask) > 0
+    shape = has.shape + (1,) * (out.ndim - has.ndim)
+    return jnp.where(has.reshape(shape), out, 0).astype(data.dtype)
+
+
+def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Per-segment mean over valid edges; empty segments → 0."""
+    total = segment_sum(data, segment_ids, num_segments, mask)
+    count = segment_count(segment_ids, num_segments, mask)
+    shape = count.shape + (1,) * (total.ndim - count.ndim)
+    count = count.reshape(shape)
+    return jnp.where(count > 0, total / jnp.maximum(count, 1).astype(total.dtype), 0)
+
+
+_REDUCERS = {
+    "max": segment_max,
+    "sum": segment_sum,
+    "add": segment_sum,
+    "mean": segment_mean,
+}
+
+
+def segment_reduce(reducer: str, data: jnp.ndarray, segment_ids: jnp.ndarray,
+                   num_segments: int, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dispatch by reducer name ('max' | 'sum'/'add' | 'mean')."""
+    try:
+        fn = _REDUCERS[reducer]
+    except KeyError:
+        raise ValueError(f"Unknown aggregation '{reducer}'; "
+                         f"expected one of {sorted(_REDUCERS)}") from None
+    return fn(data, segment_ids, num_segments, mask)
