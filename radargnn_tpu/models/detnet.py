@@ -1,0 +1,110 @@
+"""DetNet — end-to-end detection + semantic-segmentation GNN.
+
+Capability parity with `DetNetBasic` (`gnn/gnn_models.py:15-134` in
+/root/reference): optional node/edge embedding MLPs → stack of conv layers,
+each followed by BatchNorm + ReLU (edge features are reused un-re-embedded at
+every layer) → two MLP heads (classification logits — softmax lives in the
+loss — and box regression).
+
+TPU-native differences: the model operates on flattened padded GraphBatch
+arrays ([G·N, Dn] nodes, [G·E, De] edges, global flat edge indices) with
+validity masks; BatchNorm is masked; everything is one jittable function of
+(params, batch_stats) — no Python module state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from radargnn_tpu.configs import GNNArchitectureConfig
+from radargnn_tpu.graph.batch import GraphBatch
+from radargnn_tpu.models.mlp import MLP, MaskedBatchNorm
+from radargnn_tpu.models.layers import MPNNConv, RadarPointGNNConv
+
+
+class DetNet(nn.Module):
+    """Graph network for per-point classification + bounding-box regression."""
+
+    config: GNNArchitectureConfig
+
+    @nn.compact
+    def __call__(self, node_feat: jnp.ndarray, edge_feat: jnp.ndarray,
+                 senders: jnp.ndarray, receivers: jnp.ndarray,
+                 node_mask: Optional[jnp.ndarray] = None,
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        x = node_feat
+        e = edge_feat
+
+        if cfg.initial_node_feature_embedding:
+            dims = list(cfg.node_feature_embedding_layer_dimensions)
+            x = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps,
+                    name="node_emb_mlp")(x, node_mask, train)
+
+        if cfg.initial_edge_feature_embedding:
+            dims = list(cfg.edge_feature_embedding_layer_dimensions)
+            e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps,
+                    name="edge_emb_mlp")(e, edge_mask, train)
+
+        for i, layer_dim in enumerate(cfg.conv_layer_dimensions):
+            if cfg.conv_layer_type == "MPNNConv":
+                x = MPNNConv(out_channels=layer_dim,
+                             aggr=cfg.aggregation_function,
+                             pre_layers=cfg.conv_pre_mlp_layer_number,
+                             post_layers=cfg.conv_post_mlp_layer_number,
+                             use_edge_encoder=cfg.conv_use_edge_encoder,
+                             name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
+            elif cfg.conv_layer_type == "RadarPointGNNConv":
+                x = RadarPointGNNConv(
+                    aggr=cfg.aggregation_function,
+                    pre_layers=cfg.conv_pre_mlp_layer_number,
+                    post_layers=cfg.conv_post_mlp_layer_number,
+                    name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
+            else:
+                raise ValueError(
+                    f"{cfg.conv_layer_type} is invalid GNN conv layer type. "
+                    f"Chose either MPNNConv or RadarPointGNNConv")
+            x = MaskedBatchNorm(name=f"bn_{i}")(x, node_mask, train)
+            x = nn.relu(x)
+
+        cls_dims = list(cfg.classification_head_layer_dimensions)
+        cls = MLP(cls_dims[-1], cls_dims[:-1], cfg.batch_norm_in_mlps,
+                  name="classification_head")(x, node_mask, train)
+
+        reg_dims = list(cfg.regression_head_layer_dimensions)
+        bb = MLP(reg_dims[-1], reg_dims[:-1], cfg.batch_norm_in_mlps,
+                 name="regression_head")(x, node_mask, train)
+
+        return cls, bb
+
+    def apply_to_batch(self, variables, batch: GraphBatch, train: bool = False,
+                       **kwargs):
+        """Convenience: run on a GraphBatch, returning [G, N, ...] outputs."""
+        g, n = batch.node_mask.shape
+        out = self.apply(
+            variables, batch.flat_nodes(), batch.flat_edges(),
+            batch.flat_senders(), batch.flat_receivers(),
+            batch.node_mask.reshape(-1), batch.edge_mask.reshape(-1),
+            train=train, **kwargs)
+        if train and kwargs.get("mutable"):
+            (cls, bb), updates = out
+            return (cls.reshape(g, n, -1), bb.reshape(g, n, -1)), updates
+        cls, bb = out
+        return cls.reshape(g, n, -1), bb.reshape(g, n, -1)
+
+
+def create_detnet_state(config: GNNArchitectureConfig, rng: jax.Array,
+                        example_batch: GraphBatch):
+    """Initializes (params, batch_stats) for a DetNet from an example batch."""
+    model = DetNet(config)
+    variables = model.init(
+        rng, example_batch.flat_nodes(), example_batch.flat_edges(),
+        example_batch.flat_senders(), example_batch.flat_receivers(),
+        example_batch.node_mask.reshape(-1), example_batch.edge_mask.reshape(-1),
+        train=False)
+    return model, variables

@@ -1,0 +1,87 @@
+"""Message-passing convolution layers (MPNNConv, RadarPointGNNConv).
+
+Capability parity with `gnn/mpnn_layers.py` in /root/reference
+(MPNNConv `:11-101`, RadarPointGNNConv `:104-184`), re-designed for TPU:
+instead of PyG's propagate/scatter machinery, each layer is one edge-wise
+gather + dense MLP (MXU) + masked segment reduction (radargnn_tpu.ops).
+
+Message ordering matches PyG flow="source_to_target" exactly so that weights
+transfer 1:1: for an edge (s, r) — r one of s's k nearest neighbors — the
+message is pre_mlp([x_r ‖ x_s ‖ e]) (PyG x_i = target = r, x_j = source = s)
+and is aggregated at the *receiver* r.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from radargnn_tpu.models.mlp import LinearReluStack, TorchLinear
+from radargnn_tpu.ops.segment import segment_reduce
+
+
+class MPNNConv(nn.Module):
+    """General MPNN layer with edge features.
+
+    message  m_sr = pre_mlp([x_r ‖ x_s ‖ e_sr])   (edge encoder optional)
+    aggregate     = perm-invariant reduce (default max) over incoming edges
+    update   h_r  = post_mlp([x_r ‖ aggr_r])
+    """
+
+    out_channels: int
+    aggr: str = "max"
+    pre_layers: int = 1
+    post_layers: int = 1
+    use_edge_encoder: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
+                 receivers: jnp.ndarray, edge_attr: jnp.ndarray,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        num_nodes = x.shape[0]
+        in_channels = x.shape[-1]
+
+        if self.use_edge_encoder:
+            edge_attr = TorchLinear(in_channels, name="edge_encoder")(edge_attr)
+            pre_mlp_dim = 3 * in_channels
+        else:
+            pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
+
+        m_in = jnp.concatenate(
+            [x[receivers], x[senders], edge_attr], axis=-1)
+        m = LinearReluStack([pre_mlp_dim] * self.pre_layers, name="pre_mlp")(m_in)
+
+        aggr = segment_reduce(self.aggr, m, receivers, num_nodes, edge_mask)
+
+        out = jnp.concatenate([x, aggr], axis=-1)
+        post_sizes = [self.out_channels] * self.post_layers
+        return LinearReluStack(post_sizes, name="post_mlp")(out)
+
+
+class RadarPointGNNConv(nn.Module):
+    """Residual Radar-PointGNN variant: message pre_mlp([x_s ‖ e]); update
+    post_mlp([x ‖ m]) + x. Output dim forced equal to input dim."""
+
+    aggr: str = "max"
+    pre_layers: int = 1
+    post_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
+                 receivers: jnp.ndarray, edge_attr: jnp.ndarray,
+                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        num_nodes = x.shape[0]
+        node_dim = x.shape[-1]
+        pre_mlp_dim = node_dim + edge_attr.shape[-1]
+
+        m_in = jnp.concatenate([x[senders], edge_attr], axis=-1)
+        m = LinearReluStack([pre_mlp_dim] * self.pre_layers, name="pre_mlp")(m_in)
+
+        aggr = segment_reduce(self.aggr, m, receivers, num_nodes, edge_mask)
+
+        out = jnp.concatenate([x, aggr], axis=-1)
+        post_sizes = [node_dim] * self.post_layers
+        h = LinearReluStack(post_sizes, name="post_mlp")(out)
+        return h + x

@@ -1,0 +1,258 @@
+"""Model layer tests: analytic fixed-weight oracles (mirroring
+/root/reference/test/test_gnn.py), torch-semantics parity, and padding
+invariance of the masked ops."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from radargnn_tpu.configs import GNNArchitectureConfig
+from radargnn_tpu.models import MLP, MPNNConv, RadarPointGNNConv, DetNet
+from radargnn_tpu.models.mlp import MaskedBatchNorm
+
+
+def ones_weights(params):
+    """Set every kernel to 1 and every bias/scale appropriately (oracle mode)."""
+    def visit(path, leaf):
+        name = path[-1].key
+        if name == "kernel":
+            return jnp.ones_like(leaf)
+        if name == "bias":
+            return jnp.zeros_like(leaf)
+        return leaf
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
+def test_mlp_shapes_and_propagation():
+    mlp = MLP(out_size=3, hidden_layer_sizes=[5], batch_norm=False)
+    params = mlp.init(jax.random.key(0), jnp.zeros((1, 2)), train=False)["params"]
+    params = ones_weights(params)
+    assert params["lin_0"]["kernel"].shape == (2, 5)
+    assert params["lin_1"]["kernel"].shape == (5, 3)
+    x = jnp.array([[1.0, 1.0]])
+    y = mlp.apply({"params": params}, x, train=False)
+    np.testing.assert_allclose(y, [[10, 10, 10]])
+
+
+def test_mpnn_conv_forward_oracle():
+    """Reference oracle: `test_gnn.py:119-172` — max aggregation picks the
+    larger message, node 1 output = 4 · (7·15 + 4) = 436."""
+    conv = MPNNConv(out_channels=4, aggr="max", pre_layers=1, post_layers=2)
+    x = jnp.array([[1.0, 1.0], [2.0, 2.0]])
+    senders = jnp.array([0, 1, 0])
+    receivers = jnp.array([1, 0, 1])
+    edge_attr = jnp.array([[3.0, 3, 3], [4, 4, 4], [1, 1, 1]])
+
+    params = conv.init(jax.random.key(0), x, senders, receivers, edge_attr)["params"]
+    params = ones_weights(params)
+    out = conv.apply({"params": params}, x, senders, receivers, edge_attr)
+
+    np.testing.assert_allclose(out[1], [436.0] * 4)
+    # node 0: message from sender 1, e=[4,4,4]: sum = 1+1+2+2+4+4+4 = 18
+    # post: concat(7*[18], [1,1]) sum = 128 ; layer2: 4 * 128 = 512
+    np.testing.assert_allclose(out[0], [512.0] * 4)
+
+
+def test_mpnn_conv_edge_encoder_oracle():
+    """Reference oracle: `test_gnn.py:175-221` — node 1 output = 23."""
+    conv = MPNNConv(out_channels=4, use_edge_encoder=True)
+    x = jnp.array([[1.0], [2.0]])
+    senders = jnp.array([0, 1])
+    receivers = jnp.array([1, 0])
+    edge_attr = jnp.array([[1.0, 1], [2, 2]])
+
+    params = conv.init(jax.random.key(0), x, senders, receivers, edge_attr)["params"]
+    params = ones_weights(params)
+    params["edge_encoder"]["kernel"] = jnp.full_like(
+        params["edge_encoder"]["kernel"], 2.0)
+
+    assert params["pre_mlp"]["lin_0"]["kernel"].shape == (3, 3)
+    out = conv.apply({"params": params}, x, senders, receivers, edge_attr)
+    assert out[1, 0] == pytest.approx(23.0)
+
+
+def test_radar_point_gnn_conv_structure_and_residual():
+    conv = RadarPointGNNConv(aggr="max", pre_layers=2, post_layers=1)
+    x = jnp.array([[1.0, 1.0], [2.0, 2.0]])
+    senders = jnp.array([0, 1])
+    receivers = jnp.array([1, 0])
+    edge_attr = jnp.array([[1.0], [1.0]])
+
+    params = conv.init(jax.random.key(0), x, senders, receivers, edge_attr)["params"]
+    # pre_mlp: 2 linears (pre_layers=2); post_mlp: 1 linear
+    assert set(params["pre_mlp"].keys()) == {"lin_0", "lin_1"}
+    assert set(params["post_mlp"].keys()) == {"lin_0"}
+    # dims: pre (node+edge)=3; post in = 3+2, out = node_dim 2
+    assert params["post_mlp"]["lin_0"]["kernel"].shape == (5, 2)
+
+    params = ones_weights(params)
+    out = conv.apply({"params": params}, x, senders, receivers, edge_attr)
+    # node 1: msg = pre([x_0, e]) = L(L([1,1,1])): L1 -> [3,3,3], L2 -> [9,9,9]
+    # post in = [2,2,9,9,9] sum=31 -> h=[31,31]; residual +x -> [33,33]
+    np.testing.assert_allclose(out[1], [33.0, 33.0])
+
+
+def test_mpnn_conv_torch_semantics_parity():
+    """Random weights: our conv vs. a direct torch re-implementation of the
+    reference's propagate/scatter-max semantics."""
+    import torch
+
+    rng = np.random.default_rng(0)
+    N, E, Din, Dout, De = 7, 20, 5, 6, 3
+    x = rng.normal(size=(N, Din)).astype(np.float32)
+    senders = rng.integers(0, N, size=E)
+    receivers = rng.integers(0, N, size=E)
+    edge_attr = rng.normal(size=(E, De)).astype(np.float32)
+
+    conv = MPNNConv(out_channels=Dout, aggr="max", pre_layers=2, post_layers=2)
+    params = conv.init(jax.random.key(1), jnp.asarray(x), jnp.asarray(senders),
+                       jnp.asarray(receivers), jnp.asarray(edge_attr))["params"]
+    ours = np.asarray(conv.apply({"params": params}, jnp.asarray(x),
+                                 jnp.asarray(senders), jnp.asarray(receivers),
+                                 jnp.asarray(edge_attr)))
+
+    def t_lin(p, v):
+        return v @ torch.tensor(np.asarray(p["kernel"])) + torch.tensor(np.asarray(p["bias"]))
+
+    def t_stack(p, v):
+        names = sorted(p.keys(), key=lambda s: int(s.split("_")[1]))
+        for i, nm in enumerate(names):
+            if i > 0:
+                v = torch.relu(v)
+            v = t_lin(p[nm], v)
+        return v
+
+    tx = torch.tensor(x)
+    te = torch.tensor(edge_attr)
+    m_in = torch.cat([tx[receivers], tx[senders], te], dim=-1)
+    m = t_stack(params["pre_mlp"], m_in)
+    # torch-scatter max semantics: empty -> 0, true max otherwise
+    agg = torch.zeros((N, m.shape[1]))
+    has = torch.zeros(N, dtype=torch.bool)
+    filled = torch.full((N, m.shape[1]), -torch.inf)
+    for i, r in enumerate(receivers):
+        filled[r] = torch.maximum(filled[r], m[i])
+        has[r] = True
+    agg[has] = filled[has]
+    out = t_stack(params["post_mlp"], torch.cat([tx, agg], dim=-1))
+
+    np.testing.assert_allclose(ours, out.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_masked_batchnorm_matches_torch():
+    import torch
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(12, 4)).astype(np.float32) * 3 + 1
+    mask = np.ones(12, dtype=bool)
+
+    bn = MaskedBatchNorm()
+    vars_ = bn.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(mask), True)
+    y, updates = bn.apply(vars_, jnp.asarray(x), jnp.asarray(mask), True,
+                          mutable=["batch_stats"])
+
+    tbn = torch.nn.BatchNorm1d(4)
+    ty = tbn(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(y), ty.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(updates["batch_stats"]["mean"]),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(updates["batch_stats"]["var"]),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+    # eval mode uses running stats
+    y_eval = bn.apply({"params": vars_["params"],
+                       "batch_stats": updates["batch_stats"]},
+                      jnp.asarray(x), jnp.asarray(mask), False)
+    tbn.eval()
+    ty_eval = tbn(torch.tensor(x))
+    np.testing.assert_allclose(np.asarray(y_eval), ty_eval.detach().numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _small_config(**kw):
+    base = dict(
+        node_feature_dimension=4, edge_feature_dimension=2,
+        conv_layer_dimensions=[8, 8], classification_head_layer_dimensions=[6],
+        regression_head_layer_dimensions=[4, 5],
+        initial_node_feature_embedding=True,
+        initial_edge_feature_embedding=True,
+        node_feature_embedding_layer_dimensions=[8, 8],
+        edge_feature_embedding_layer_dimensions=[4, 4],
+        batch_norm_in_mlps=False)
+    base.update(kw)
+    return GNNArchitectureConfig(**base)
+
+
+def _random_flat_graph(rng, n_valid, n_pad, k=3):
+    from radargnn_tpu.ops import knn_graph
+    pos = np.zeros((n_pad, 2), np.float32)
+    pos[:n_valid] = rng.normal(size=(n_valid, 2)) * 5
+    valid = np.arange(n_pad) < n_valid
+    s, r, m = knn_graph(jnp.asarray(pos), k, jnp.asarray(valid))
+    node_feat = np.zeros((n_pad, 4), np.float32)
+    node_feat[:n_valid] = rng.normal(size=(n_valid, 4))
+    edge_feat = rng.normal(size=(s.shape[0], 2)).astype(np.float32)
+    edge_feat[~np.asarray(m)] = 0
+    return (jnp.asarray(node_feat), jnp.asarray(edge_feat), s, r,
+            jnp.asarray(valid), m)
+
+
+def test_detnet_padding_invariance():
+    """Outputs on valid nodes must be identical whatever the padding size —
+    the masked-BatchNorm / masked-max correctness guarantee."""
+    rng = np.random.default_rng(3)
+    n_valid = 10
+    pos = rng.normal(size=(n_valid, 2)).astype(np.float32) * 5
+    feats = rng.normal(size=(n_valid, 4)).astype(np.float32)
+
+    model = DetNet(_small_config())
+    outs = []
+    variables = None
+    for n_pad in (10, 16, 32):
+        from radargnn_tpu.ops import knn_graph
+        p = np.zeros((n_pad, 2), np.float32)
+        p[:n_valid] = pos
+        valid = jnp.asarray(np.arange(n_pad) < n_valid)
+        s, r, m = knn_graph(jnp.asarray(p), 3, valid)
+        nf = np.zeros((n_pad, 4), np.float32)
+        nf[:n_valid] = feats
+        # deterministic edge features from endpoints so they match across pads
+        ef = (np.asarray(s) % 5 + np.asarray(r) % 7).astype(np.float32)
+        ef = np.stack([ef, ef * 0.5], axis=1)
+        ef[~np.asarray(m)] = 0
+        args = (jnp.asarray(nf), jnp.asarray(ef), s, r, valid, m)
+        if variables is None:
+            variables = model.init(jax.random.key(0), *args, train=False)
+        cls, bb = model.apply(variables, *args, train=True,
+                              mutable=["batch_stats"])[0]
+        outs.append((np.asarray(cls)[:n_valid], np.asarray(bb)[:n_valid]))
+
+    for cls, bb in outs[1:]:
+        np.testing.assert_allclose(cls, outs[0][0], rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(bb, outs[0][1], rtol=2e-4, atol=2e-5)
+
+
+def test_detnet_radarscenes_config_shapes():
+    """The flagship configuration (configuration_radarscenes.yml) compiles and
+    produces the right output dims."""
+    cfg = GNNArchitectureConfig(
+        node_feature_dimension=5, edge_feature_dimension=2,
+        conv_layer_dimensions=[224, 224, 128, 64, 32],
+        classification_head_layer_dimensions=[6],
+        regression_head_layer_dimensions=[16, 5],
+        initial_node_feature_embedding=True,
+        initial_edge_feature_embedding=True,
+        node_feature_embedding_layer_dimensions=[32, 64, 128, 224],
+        edge_feature_embedding_layer_dimensions=[4, 8, 16],
+        conv_layer_type="MPNNConv", batch_norm_in_mlps=False)
+
+    rng = np.random.default_rng(4)
+    nf, ef, s, r, nm, em = _random_flat_graph(rng, 20, 24, k=4)
+    nf = jnp.asarray(rng.normal(size=(24, 5)).astype(np.float32))
+    model = DetNet(cfg)
+    variables = model.init(jax.random.key(0), nf, ef, s, r, nm, em, train=False)
+    cls, bb = model.apply(variables, nf, ef, s, r, nm, em, train=False)
+    assert cls.shape == (24, 6)
+    assert bb.shape == (24, 5)
