@@ -1,0 +1,117 @@
+"""Padded-bucket graph data loading.
+
+Replaces the reference's `utils/data_handling.get_data_loaders`
+(`utils/data_handling.py:7-36` in /root/reference: load every PyG .pt into a
+Python list, block-diagonal DataLoader) with a TPU-friendly loader:
+
+  * graphs are stored one-per-file as compressed npz `GraphSample`s
+    (`graph_<i>.npz`), written by the dataset-creation pipelines,
+  * batches are padded to a fixed (max_nodes, max_edges) bucket shared across
+    the whole epoch so every step hits the same compiled executable,
+  * shuffling is seeded and deterministic (SURVEY.md §7 hard part 6),
+  * an optional leading device axis pads the *number of graphs* in the final
+    batch so shapes stay static.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from radargnn_tpu.graph.batch import GraphBatch, GraphSample, stack_samples
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class GraphDataLoader:
+    """Iterates GraphBatches of `batch_size` padded graphs."""
+
+    def __init__(self, samples: List[GraphSample], batch_size: int,
+                 shuffle: bool, bg_index: int, seed: int = 0,
+                 max_nodes: Optional[int] = None,
+                 max_edges: Optional[int] = None,
+                 pad_align: int = 64, drop_last: bool = False):
+        if not samples:
+            raise ValueError("empty sample list")
+        self.samples = samples
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.bg_index = bg_index
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+        n_max = max(s.num_nodes for s in samples)
+        e_max = max(s.num_edges for s in samples)
+        self.max_nodes = max_nodes or _round_up(n_max, pad_align)
+        self.max_edges = max_edges or _round_up(e_max, pad_align)
+
+    def __len__(self) -> int:
+        n = len(self.samples)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[GraphBatch]:
+        order = np.arange(len(self.samples))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            batch_samples = [self.samples[i] for i in idx]
+            # pad the graph count so the leading axis is static
+            while len(batch_samples) < self.batch_size:
+                batch_samples.append(_empty_like(batch_samples[0]))
+            yield stack_samples(batch_samples, self.max_nodes, self.bg_index,
+                                self.max_edges)
+
+
+def _empty_like(sample: GraphSample) -> GraphSample:
+    """A graph with zero valid nodes/edges matching a sample's feature dims."""
+    return GraphSample(
+        node_feat=np.zeros((0, sample.node_feat.shape[1]), np.float32),
+        edge_feat=np.zeros((0, sample.edge_feat.shape[1]), np.float32),
+        senders=np.zeros((0,), np.int32), receivers=np.zeros((0,), np.int32),
+        labels=np.zeros((0,), np.int32),
+        boxes=np.zeros((0, sample.boxes.shape[1]), np.float32),
+        pos=np.zeros((0, 2), np.float32), vel=np.zeros((0, 2), np.float32))
+
+
+def load_split_samples(root: str, split: str) -> List[GraphSample]:
+    paths = sorted(glob.glob(f"{root}/{split}/*.npz"))
+    return [GraphSample.load_npz(p) for p in paths]
+
+
+def get_data_loaders(splits: List[str], root: str, batch_size: int,
+                     shuffle: bool, bg_index: int = 5, seed: int = 0,
+                     ) -> Tuple[Dict[str, GraphDataLoader], dict]:
+    """Reads graph npz files per split into loaders + the dataset config.json.
+
+    Parity: `utils/data_handling.py:7-36` (same signature shape; adds
+    bg_index/seed for deterministic padding).
+    """
+    loaders: Dict[str, GraphDataLoader] = {}
+    # share one bucket across splits so train/val use the same executable
+    all_samples = {s: load_split_samples(root, s) for s in splits}
+    n_max = max(max((g.num_nodes for g in ss), default=1)
+                for ss in all_samples.values())
+    e_max = max(max((g.num_edges for g in ss), default=1)
+                for ss in all_samples.values())
+    n_bucket = _round_up(n_max, 64)
+    e_bucket = _round_up(e_max, 64)
+    for split, samples in all_samples.items():
+        loaders[split] = GraphDataLoader(
+            samples, batch_size, shuffle and split == "train", bg_index,
+            seed=seed, max_nodes=n_bucket, max_edges=e_bucket)
+
+    config_path = os.path.join(root, "config.json")
+    dataset_config = {}
+    if os.path.exists(config_path):
+        with open(config_path) as f:
+            dataset_config = json.load(f)
+    return loaders, dataset_config

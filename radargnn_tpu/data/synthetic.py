@@ -1,0 +1,97 @@
+"""Synthetic radar-frame generator for tests, benchmarks and e2e smoke runs.
+
+Generates point clouds that mimic RadarScenes statistics (background clutter +
+a few object clusters with coherent velocity), runs the real host graph
+pipeline (kNN + invariant features + GT boxes) and emits `GraphSample`s.
+No reference equivalent — the reference's tests build tiny inline tensors;
+this provides the scalable analog for throughput and training tests.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from radargnn_tpu.configs import GraphConstructionConfiguration
+from radargnn_tpu.graph.batch import GraphSample
+from radargnn_tpu.graph.build import build_geometric_graph
+from radargnn_tpu.data.ground_truth import create_2d_bounding_boxes
+
+DEFAULT_GRAPH_CONFIG = GraphConstructionConfiguration(
+    graph_construction_algorithm="knn",
+    graph_construction_settings={"k": 20, "r": 1.0},
+    node_features=["rcs", "velocity_vector", "time_index", "degree"],
+    edge_features=["relative_position"],
+    edge_mode="directed",
+    distance_definition="X",
+)
+
+
+def synthetic_frame(rng: np.random.Generator, num_points: int = 1000,
+                    num_objects: int = 6, num_classes: int = 5,
+                    bg_index: int = 5, extent: float = 80.0):
+    """One frame: (pos, vel, rcs, timestamps, labels, track_ids)."""
+    n_obj_pts = int(num_points * 0.15)
+    n_bg = num_points - n_obj_pts
+
+    pos = np.empty((num_points, 2))
+    vel = np.zeros((num_points, 2))
+    labels = np.full((num_points,), bg_index, dtype=np.int64)
+    track_ids = np.full((num_points,), b"", dtype=object)
+
+    pos[:n_bg, 0] = rng.uniform(0, extent, n_bg)
+    pos[:n_bg, 1] = rng.uniform(-extent / 2, extent / 2, n_bg)
+
+    start = n_bg
+    sizes = np.maximum(rng.multinomial(
+        n_obj_pts, np.ones(num_objects) / num_objects), 2)
+    sizes[-1] = max(2, n_obj_pts - sizes[:-1].sum())
+    for obj in range(num_objects):
+        size = sizes[obj]
+        end = min(start + size, num_points)
+        if end <= start:
+            break
+        center = np.array([rng.uniform(5, extent - 5),
+                           rng.uniform(-extent / 2 + 5, extent / 2 - 5)])
+        heading = rng.uniform(0, 2 * np.pi)
+        length, width = rng.uniform(1.5, 6.0), rng.uniform(0.8, 2.5)
+        d = np.array([np.cos(heading), np.sin(heading)])
+        o = np.array([-d[1], d[0]])
+        local = (rng.uniform(-0.5, 0.5, (end - start, 1)) * length * d
+                 + rng.uniform(-0.5, 0.5, (end - start, 1)) * width * o)
+        pos[start:end] = center + local
+        speed = rng.uniform(0.5, 15.0)
+        vel[start:end] = speed * d + rng.normal(0, 0.2, (end - start, 2))
+        labels[start:end] = rng.integers(0, num_classes)
+        track_ids[start:end] = str(obj).encode()
+        start = end
+
+    rcs = rng.normal(0, 5, (num_points, 1))
+    timestamps = np.repeat(
+        np.arange(4), -(-num_points // 4))[:num_points].reshape(-1, 1)
+    return pos, vel, rcs, timestamps, labels, track_ids
+
+
+def make_samples(num_frames: int = 8, num_points: int = 1000,
+                 seed: int = 0, aligned: bool = False,
+                 bb_invariance: str = "translation",
+                 graph_config: Optional[GraphConstructionConfiguration] = None,
+                 bg_index: int = 5) -> List[GraphSample]:
+    cfg = graph_config or DEFAULT_GRAPH_CONFIG
+    rng = np.random.default_rng(seed)
+    samples = []
+    for _ in range(num_frames):
+        pos, vel, rcs, ts, labels, track_ids = synthetic_frame(
+            rng, num_points, bg_index=bg_index)
+        g = build_geometric_graph(cfg, pos, vel, rcs=rcs, timestamps=ts)
+        boxes = create_2d_bounding_boxes(pos, track_ids, aligned, bb_invariance)
+        samples.append(GraphSample(
+            node_feat=g.node_feat.astype(np.float32),
+            edge_feat=g.edge_feat.astype(np.float32),
+            senders=g.senders.astype(np.int32),
+            receivers=g.receivers.astype(np.int32),
+            labels=labels.astype(np.int32),
+            boxes=boxes.astype(np.float32),
+            pos=pos.astype(np.float32), vel=vel.astype(np.float32)))
+    return samples

@@ -1,0 +1,3 @@
+from radargnn_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, batch_sharding, replicate_sharding, shard_batch,
+)
