@@ -1,0 +1,164 @@
+"""On-device non-maximum suppression: aligned and rotated boxes.
+
+Replaces torchvision `ops.nms` and detectron2 `nms_rotated` (C++/CUDA,
+`postprocessor/postprocessing.py:370,405` in /root/reference) with JAX
+kernels: a vectorized IoU matrix (rotated IoU via fixed-buffer
+Sutherland–Hodgman convex clipping — quad ∩ quad ≤ 8 vertices) followed by a
+greedy score-ordered suppression sweep under `lax.fori_loop`. Static shapes:
+callers pad the box count; a validity mask excludes padding.
+
+Semantics parity: a box is suppressed iff its IoU with a higher-scoring kept
+box is strictly greater than the threshold; kept indices are returned in
+descending-score order (torchvision/detectron2 behavior, characterized by
+`/root/reference/test/test_postprocessor.py:8-34`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_POLY_BUF = 16  # vertex buffer for clipped polygons (quad∩quad needs ≤ 8)
+
+
+def aligned_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """IoU of aligned boxes [N,4] × [M,4] in (x1, y1, x2, y2)."""
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+
+
+def _box_corners(boxes: jnp.ndarray) -> jnp.ndarray:
+    """[B,5] (x, y, l, w, θdeg CCW) → [B,4,2] corners (CCW order)."""
+    x, y, l, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    t = jnp.deg2rad(boxes[:, 4])
+    c, s = jnp.cos(t), jnp.sin(t)
+    dx = jnp.stack([l / 2, l / 2, -l / 2, -l / 2], -1)
+    dy = jnp.stack([-w / 2, w / 2, w / 2, -w / 2], -1)
+    cx = x[:, None] + dx * c[:, None] - dy * s[:, None]
+    cy = y[:, None] + dx * s[:, None] + dy * c[:, None]
+    return jnp.stack([cx, cy], axis=-1)
+
+
+def _clip_polygon(verts, count, p1, p2):
+    """Clip a polygon (verts [V,2], count) by the half-plane left of p1→p2."""
+    v = verts
+    nxt = jnp.roll(v, -1, axis=0)
+    idx = jnp.arange(_POLY_BUF)
+    # wrap the edge from the last valid vertex back to vertex 0
+    nxt = jnp.where((idx[:, None] == count - 1),
+                    jnp.broadcast_to(v[0], nxt.shape), nxt)
+    edge_valid = idx < count
+
+    d = p2 - p1
+    side = lambda q: d[0] * (q[..., 1] - p1[1]) - d[1] * (q[..., 0] - p1[0])
+    in_cur = side(v) >= 0
+    in_nxt = side(nxt) >= 0
+
+    denom = side(v) - side(nxt)
+    t = jnp.where(denom != 0, side(v) / jnp.where(denom != 0, denom, 1.0), 0.0)
+    inter = v + t[:, None] * (nxt - v)
+
+    # each input edge emits up to 2 points: current (if inside) and the
+    # intersection (if the edge crosses the plane)
+    emit_cur = in_cur & edge_valid
+    emit_int = (in_cur != in_nxt) & edge_valid
+
+    pts = jnp.stack([v, inter], axis=1).reshape(-1, 2)      # [2V, 2]
+    emit = jnp.stack([emit_cur, emit_int], axis=1).reshape(-1)
+
+    # compact the emitted points into the front of a fresh buffer; dropped
+    # entries scatter out-of-bounds (mode="drop")
+    pos = jnp.cumsum(emit) - 1
+    out = jnp.zeros((_POLY_BUF, 2))
+    out = out.at[jnp.where(emit, pos, _POLY_BUF)].set(pts, mode="drop")
+    out_count = jnp.sum(emit)
+    return out, out_count
+
+
+def _poly_area(verts, count):
+    nxt = jnp.roll(verts, -1, axis=0)
+    idx = jnp.arange(_POLY_BUF)
+    nxt = jnp.where((idx[:, None] == count - 1),
+                    jnp.broadcast_to(verts[0], nxt.shape), nxt)
+    valid = idx < count
+    cross = verts[:, 0] * nxt[:, 1] - nxt[:, 0] * verts[:, 1]
+    return 0.5 * jnp.abs(jnp.sum(jnp.where(valid, cross, 0.0)))
+
+
+def _pair_intersection_area(corners_a, corners_b):
+    """Intersection area of two convex quads via Sutherland–Hodgman."""
+    verts = jnp.zeros((_POLY_BUF, 2)).at[:4].set(corners_a)
+    count = jnp.asarray(4)
+
+    def clip_edge(i, carry):
+        verts, count = carry
+        p1 = corners_b[i]
+        p2 = corners_b[(i + 1) % 4]
+        verts, count = _clip_polygon(verts, count, p1, p2)
+        return verts, count
+
+    verts, count = jax.lax.fori_loop(0, 4, clip_edge, (verts, count))
+    return jnp.where(count >= 3, _poly_area(verts, count), 0.0)
+
+
+def rotated_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact rotated IoU [N,M] for boxes [*, 5] = (x, y, l, w, θdeg)."""
+    ca = _box_corners(a)                 # [N,4,2] CCW
+    cb = _box_corners(b)                 # [M,4,2]
+    inter = jax.vmap(lambda qa: jax.vmap(
+        lambda qb: _pair_intersection_area(qa, qb))(cb))(ca)
+    area_a = a[:, 2] * a[:, 3]
+    area_b = b[:, 2] * b[:, 3]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.where(union > 0, union, 1.0), 0.0)
+
+
+@partial(jax.jit, static_argnames=("rotated",))
+def nms_keep_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
+                  iou_threshold: float, rotated: bool,
+                  valid: jnp.ndarray = None) -> jnp.ndarray:
+    """Greedy NMS. Returns bool keep mask aligned with the input order."""
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+
+    iou = rotated_iou_matrix(boxes, boxes) if rotated \
+        else aligned_iou_matrix(boxes, boxes)
+
+    order = jnp.argsort(-jnp.where(valid, scores, -jnp.inf), stable=True)
+    iou_s = iou[order][:, order]
+    valid_s = valid[order]
+
+    def body(i, keep):
+        alive_i = keep[i] & valid_s[i]
+        suppress = (iou_s[i] > iou_threshold) & alive_i
+        later = jnp.arange(n) > i
+        return keep & ~(suppress & later)
+
+    keep_s = jax.lax.fori_loop(0, n, body, valid_s)
+    # unsort
+    keep = jnp.zeros((n,), bool).at[order].set(keep_s)
+    return keep
+
+
+def nms_indices(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float,
+                rotated: bool) -> np.ndarray:
+    """Host convenience: kept indices in descending-score order (the
+    torchvision/detectron2 return convention)."""
+    boxes = np.asarray(boxes, dtype=np.float32)
+    scores = np.asarray(scores, dtype=np.float32)
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), np.int64)
+    keep = np.asarray(nms_keep_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                    float(iou_threshold), rotated))
+    idx = np.nonzero(keep)[0]
+    return idx[np.argsort(-scores[idx], kind="stable")]
