@@ -8,10 +8,12 @@ valid-edges processed per second.
 
 Baseline: the reference trains this stack via PyG/torch-scatter on GPU; the
 north-star target (BASELINE.md) is ≥5× an A100 PyG baseline per chip. No
-measured baseline exists in-repo, so we use a documented estimate of
-50e6 edges/s for A100 PyG on this model size (typical PyG utilization for
-~450-wide edge MLPs; see BASELINE.md targets) — `vs_baseline` is
-edges_per_s / 50e6.
+measured baseline exists in-repo, so we derive one: the flagship stack costs
+≈1.1 MFLOP/edge forward (dominated by the per-edge pre-MLPs: 464²+464²+272²
++144²+80² ≈ 0.53M MACs), ≈3.3 MFLOP/edge for a full train step. A100 PyG
+typically sustains ~15% of 156 TFLOP/s TF32 on gather/scatter-bound edge
+MLPs → ≈ 23 TFLOP/s / 3.3 MFLOP ≈ 7e6 edges/s. `vs_baseline` is
+edges_per_s / 7e6 (target ≥ 5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,7 +23,7 @@ from __future__ import annotations
 import json
 import time
 
-A100_PYG_EDGES_PER_S = 50e6  # documented estimate, see module docstring
+A100_PYG_EDGES_PER_S = 7e6  # derived estimate, see module docstring
 
 
 def main():

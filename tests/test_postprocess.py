@@ -1,0 +1,187 @@
+"""Postprocessing pipeline: decode, NMS integration, mAP engine, evaluators.
+
+The strongest oracle: feeding ground truth back as perfect predictions
+through the full decode→NMS→mAP path must give mAP 1.0 for every invariance
+mode; corrupted predictions must lower it in the expected way.
+"""
+
+import numpy as np
+import pytest
+
+from radargnn_tpu.configs import PostProcessingConfiguration
+from radargnn_tpu.data.ground_truth import create_2d_bounding_boxes
+from radargnn_tpu.postprocess import (
+    MeanAveragePrecision, Postprocessor, SegmentationMetrics,
+    RadarscenesEvaluator,
+)
+
+
+def _config(**kw):
+    base = dict(
+        split="validate", iou_for_nms=0.01,
+        min_object_score={"car": 0.5, "pedestrian": 0.5, "pedestrian_group": 0.5,
+                          "two_wheeler": 0.5, "large_vehicle": 0.5},
+        max_score_for_background=0.2, iou_for_mAP=0.3, use_point_iou=True,
+        bg_index=5, bb_invariance="translation")
+    base.update(kw)
+    return PostProcessingConfiguration(**base)
+
+
+def _frame(rng, n=60, bb_invariance="translation", aligned=False):
+    """Synthetic frame with 3 objects; returns pos, vel, labels, gt boxes."""
+    pos = rng.uniform(0, 50, size=(n, 2))
+    labels = np.full(n, 5)
+    tracks = np.full(n, b"", object)
+    centers = [np.array([10.0, 10.0]), np.array([25.0, 40.0]),
+               np.array([42.0, 15.0])]
+    for obj, (lo, hi) in enumerate([(0, 6), (6, 14), (14, 19)]):
+        center = centers[obj]
+        pos[lo:hi] = center + rng.uniform(-2, 2, size=(hi - lo, 2))
+        labels[lo:hi] = obj % 5
+        tracks[lo:hi] = str(obj).encode()
+    boxes = create_2d_bounding_boxes(pos, tracks, aligned, bb_invariance)
+    vel = rng.normal(size=(n, 2))
+    return pos, vel, labels.astype(float), boxes
+
+
+def _perfect_class_probs(labels, n_classes=6):
+    probs = np.full((len(labels), n_classes), 0.01)
+    probs[np.arange(len(labels)), labels.astype(int)] = 0.9
+    return probs
+
+
+@pytest.mark.parametrize("bb_invariance,aligned", [
+    ("translation", False), ("none", False), ("en", False),
+    ("translation", True),
+])
+def test_perfect_predictions_give_map_1(bb_invariance, aligned):
+    rng = np.random.default_rng(0)
+    config = _config(bb_invariance=bb_invariance)
+    pp = Postprocessor()
+
+    raw_pos, raw_vel, preds, gts = [], [], {
+        "bounding_box_predictions": [], "class_probability_prediction": []}, {
+        "bounding_box_true": [], "class_true": []}
+    for _ in range(3):
+        pos, vel, labels, boxes = _frame(
+            rng, bb_invariance=bb_invariance, aligned=aligned)
+        raw_pos.append(pos)
+        raw_vel.append(vel)
+        bb_pred = np.nan_to_num(boxes, nan=0.0)       # model outputs no NaNs
+        preds["bounding_box_predictions"].append(bb_pred)
+        preds["class_probability_prediction"].append(
+            _perfect_class_probs(labels))
+        gts["bounding_box_true"].append(boxes)
+        gts["class_true"].append(labels)
+
+    bb_pred, bb_gt, cls_pred, cls_gt = pp.process(
+        config, raw_pos, raw_vel, preds, gts)
+
+    # every frame: 3 deduped GT objects
+    for gt in bb_gt:
+        assert len(gt["boxes"]) == 3
+
+    from radargnn_tpu.postprocess import ObjectDetectionMetrics
+    res = ObjectDetectionMetrics.get_map(config, bb_pred, bb_gt, cls_pred)
+    assert res["map"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bad_predictions_reduce_map():
+    rng = np.random.default_rng(1)
+    config = _config()
+    pp = Postprocessor()
+
+    pos, vel, labels, boxes = _frame(rng)
+    # shift all predicted boxes far away
+    bb_pred = np.nan_to_num(boxes, nan=0.0).copy()
+    bb_pred[:, 0] += 30
+    bb_pred[:, 1] += 30
+
+    preds = {"bounding_box_predictions": [bb_pred],
+             "class_probability_prediction": [_perfect_class_probs(labels)]}
+    gts = {"bounding_box_true": [boxes], "class_true": [labels]}
+    bb_p, bb_g, cls_p, cls_g = pp.process(config, [pos], [vel], preds, gts)
+
+    from radargnn_tpu.postprocess import ObjectDetectionMetrics
+    res = ObjectDetectionMetrics.get_map(config, bb_p, bb_g, cls_p)
+    assert res["map"] < 0.2
+
+
+def test_map_engine_simple_aligned_oracle():
+    """Hand-computed: 1 GT, 2 dets (one TP at higher score, one FP lower)
+    → PR curve gives AP 1.0; FP-first ordering gives lower AP."""
+    m = MeanAveragePrecision([0.5])
+    preds = [{"boxes": np.array([[0, 0, 2, 2], [10, 10, 12, 12]]),
+              "scores": np.array([0.9, 0.3]),
+              "labels": np.array([0, 0])}]
+    target = [{"boxes": np.array([[0, 0, 2, 2]]), "labels": np.array([0])}]
+    m.update(preds, target)
+    assert m.compute()["map"] == pytest.approx(1.0)
+
+    m = MeanAveragePrecision([0.5])
+    preds[0]["scores"] = np.array([0.3, 0.9])        # FP ranked first
+    m.update(preds, target)
+    # precision at recall>0 is 1/2 → AP = 0.5
+    assert m.compute()["map"] == pytest.approx(0.5)
+
+
+def test_map_classes_without_gt_are_excluded():
+    m = MeanAveragePrecision([0.5])
+    preds = [{"boxes": np.array([[0, 0, 2, 2], [5, 5, 6, 6]]),
+              "scores": np.array([0.9, 0.8]), "labels": np.array([0, 3])}]
+    target = [{"boxes": np.array([[0, 0, 2, 2]]), "labels": np.array([0])}]
+    m.update(preds, target)
+    res = m.compute()
+    assert res["map"] == pytest.approx(1.0)           # class 3 has no GT
+    assert np.isnan(res["map_per_class"][1])          # class 3 AP = NaN
+
+
+def test_map_strictly_greater_threshold():
+    """IoU == threshold must NOT match (reference `_find_best_gt_match`)."""
+    m = MeanAveragePrecision([0.5])
+    # IoU exactly 0.5: [0,0,2,1] vs [0,0,1,1] -> inter 1, union 2
+    preds = [{"boxes": np.array([[0, 0, 2, 1.0]]), "scores": np.array([0.9]),
+              "labels": np.array([0])}]
+    target = [{"boxes": np.array([[0, 0, 1, 1.0]]), "labels": np.array([0])}]
+    m.update(preds, target)
+    assert m.compute()["map"] == pytest.approx(0.0)
+
+
+def test_segmentation_metrics():
+    cls_pred_label = [np.array([[0], [1], [5]]), np.array([[2], [5]])]
+    cls_gt = [{"labels": np.array([0, 1, 5])}, {"labels": np.array([2, 2])}]
+    seg = SegmentationMetrics(cls_pred_label, cls_gt)
+    f1 = seg.get_f1(6, None)
+    assert f1[0] == 1.0 and f1[1] == 1.0
+    cm = seg.get_confusion_matrix(6)
+    assert cm[2, 2] == 1 and cm[2, 5] == 1
+    assert cm.sum() == 5
+
+
+def test_radarscenes_evaluator_end_to_end(tmp_path):
+    rng = np.random.default_rng(2)
+    config = _config()
+    pp = Postprocessor()
+
+    pos, vel, labels, boxes = _frame(rng)
+    preds = {"bounding_box_predictions": [np.nan_to_num(boxes, nan=0.0)],
+             "class_probability_prediction": [_perfect_class_probs(labels)]}
+    gts = {"bounding_box_true": [boxes], "class_true": [labels]}
+    bb_p, bb_g, cls_p, cls_g = pp.process(config, [pos], [vel], preds, gts)
+
+    from radargnn_tpu.postprocess import PredictionExtractor
+    cls_pred_label = PredictionExtractor().extract(preds)
+
+    ev = RadarscenesEvaluator(config)
+    ev.evaluate(bb_p, bb_g, cls_p, cls_pred_label, cls_g)
+    assert ev.mAP == pytest.approx(1.0)
+    assert ev.f1_segmentation is not None
+
+    folder = ev.save_results(str(tmp_path))
+    import os
+    for art in ("eval_configs.json", "eval_results.json", "confusion_abs.npy",
+                "confusion_rel.npy", "confusion.png"):
+        assert os.path.exists(os.path.join(folder, art))
+    # numbering
+    ev.save_results(str(tmp_path))
+    assert os.path.isdir(os.path.join(str(tmp_path), "evaluation_02"))
