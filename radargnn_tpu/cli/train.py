@@ -1,0 +1,72 @@
+"""CLI: model training. Parity: `train.py:12-75` in /root/reference."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from radargnn_tpu.configs import UserConfigurationReader
+from radargnn_tpu.data.loader import get_data_loaders
+from radargnn_tpu.graph.batch import stack_samples
+from radargnn_tpu.models.detnet import create_detnet_state
+from radargnn_tpu.parallel.mesh import make_mesh
+from radargnn_tpu.train.trainer import Trainer, set_seeds
+
+
+def main(path_to_graph_data: str, path_to_results: str,
+         path_to_config: str) -> None:
+    config_dict = UserConfigurationReader.read_config_file(path_to_config)
+    model_config = UserConfigurationReader.get_config_object(
+        "MODEL_ARCHITECTURE", config_dict)
+    training_config = UserConfigurationReader.get_config_object(
+        "TRAINING", config_dict)
+
+    print(f"Train devices: {jax.devices()}")
+
+    key = set_seeds(training_config.seed) if training_config.deterministic \
+        else jax.random.key(0)
+
+    print(">>> loading data")
+    data_loaders, dataset_config_dict = get_data_loaders(
+        ["train", "validate"], path_to_graph_data,
+        training_config.batch_size, training_config.shuffle,
+        bg_index=training_config.bg_index, seed=training_config.seed)
+
+    print(">>> creating model")
+    train_loader = data_loaders["train"]
+    example = stack_samples(
+        train_loader.samples[:1], train_loader.max_nodes,
+        training_config.bg_index, train_loader.max_edges)
+    model, variables = create_detnet_state(model_config, key, example)
+
+    mesh = make_mesh(training_config.mesh_axes) \
+        if training_config.mesh_axes else None
+
+    print(">>> starting training")
+    trainer = Trainer(training_config, model, variables, mesh=mesh)
+    ckpt_dir = os.path.join(path_to_results, "_checkpoint") \
+        if training_config.checkpoint_every_epochs else None
+    trainer.fit(data_loaders, checkpoint_dir=ckpt_dir)
+
+    trainer.save_results(path_to_results, model_config, dataset_config_dict)
+
+
+def cli() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--data", type=str, required=True)
+    parser.add_argument("--results", type=str, required=True)
+    parser.add_argument("--config", type=str, required=True)
+    args = parser.parse_args()
+    if not os.path.isdir(args.data):
+        raise SystemExit("Invalid path for graph data folder")
+    if not os.path.isdir(args.results):
+        raise SystemExit("Invalid path for results folder")
+    if not os.path.isfile(args.config):
+        raise SystemExit("Invalid path to config file")
+    main(args.data, args.results, args.config)
+
+
+if __name__ == "__main__":
+    cli()

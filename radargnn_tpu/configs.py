@@ -121,7 +121,10 @@ class RadarScenesSplitConfiguration:
             validate = [name for name, meta in seq_meta.items()
                         if meta.get("category") == "validation"]
             all_idx = set(range(len(train_val)))
-            idx_test = set(RADARSCENES_TEST_SPLIT_INDICES)
+            # indices beyond the sequence count are ignored (lets reduced /
+            # synthetic datasets reuse the standard split machinery)
+            idx_test = {i for i in RADARSCENES_TEST_SPLIT_INDICES
+                        if i < len(train_val)}
             idx_train = all_idx - idx_test
             self.sequence_dict = {
                 "train": [train_val[i] for i in idx_train],
