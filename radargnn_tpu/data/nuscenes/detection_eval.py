@@ -1,0 +1,243 @@
+"""Native nuScenes detection evaluation (mAP / TP metrics / NDS).
+
+Replaces the `nuscenes.eval.detection.evaluate.DetectionEval` dependency the
+reference invokes (`postprocessor/nuscenes/evaluation.py:70-74` in
+/root/reference) with a self-contained implementation of the
+`detection_cvpr_2019` protocol:
+
+  * matching by 2D ground-plane center distance at thresholds 0.5/1/2/4 m,
+    greedy in descending-score order against not-yet-matched GT of the class,
+  * GT and predictions filtered to the class detection range from the ego
+    position; ≤ 500 boxes per sample,
+  * AP = 101-point interpolated precision with the (0.1, 0.1) min
+    recall/precision cut: mean over recall > 0.1 of max(p − 0.1, 0) / 0.9,
+  * TP errors (ATE/ASE/AOE/AVE/AAE) averaged over matches at the 2 m
+    threshold (the devkit averages cumulative means over achieved recall;
+    documented simplification),
+  * NDS = (5·mAP + Σ max(1 − mTP, 0)) / 10 over the five TP scores.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from radargnn_tpu.data.nuscenes.quaternion import Quaternion
+
+DIST_THRESHOLDS = (0.5, 1.0, 2.0, 4.0)
+TP_DIST_THRESHOLD = 2.0
+MIN_RECALL = 0.1
+MIN_PRECISION = 0.1
+MAX_BOXES_PER_SAMPLE = 500
+
+CLASS_RANGE = {
+    "car": 50, "truck": 50, "bus": 50, "trailer": 50,
+    "construction_vehicle": 50, "pedestrian": 40, "motorcycle": 40,
+    "bicycle": 40, "traffic_cone": 30, "barrier": 30,
+}
+
+ATTRIBUTES = (
+    "cycle.with_rider", "cycle.without_rider", "pedestrian.moving",
+    "pedestrian.standing", "pedestrian.sitting_lying_down", "vehicle.moving",
+    "vehicle.parked", "vehicle.stopped", "",
+)
+
+
+def _yaw_from_rotation(rotation) -> float:
+    return Quaternion(rotation).yaw_pitch_roll[0]
+
+
+def _angle_diff(a: float, b: float, period: float) -> float:
+    d = (a - b) % period
+    return min(d, period - d)
+
+
+def _scale_iou(size_a, size_b) -> float:
+    """3D IoU of axis-aligned, co-centered boxes (devkit scale_iou)."""
+    inter = np.prod(np.minimum(size_a, size_b))
+    union = np.prod(size_a) + np.prod(size_b) - inter
+    return float(inter / union) if union > 0 else 0.0
+
+
+def _calc_ap(prec_interp: np.ndarray) -> float:
+    prec = prec_interp[round(100 * MIN_RECALL) + 1:]
+    prec = np.clip(prec - MIN_PRECISION, 0, None)
+    return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
+
+
+class NuScenesDetectionEval:
+    """Evaluates a submission dict against ground-truth boxes.
+
+    ground_truth: {sample_token: [ {translation, size, rotation,
+                   detection_name, attribute_name, velocity, ego_translation?} ]}
+    submission:   the dict produced by `get_submission`.
+    ego_positions: {sample_token: (x, y)} global ego position per sample.
+    """
+
+    def __init__(self, submission: Dict, ground_truth: Dict[str, List[dict]],
+                 ego_positions: Dict[str, tuple]):
+        self.results = submission["results"]
+        self.gt = ground_truth
+        self.ego = ego_positions
+
+    def _filter(self, boxes: List[dict], token: str) -> List[dict]:
+        ego = np.asarray(self.ego[token], dtype=float)
+        kept = []
+        for b in boxes:
+            name = b["detection_name"]
+            if name not in CLASS_RANGE:
+                continue
+            center = np.asarray(b["translation"][:2], dtype=float)
+            if np.linalg.norm(center - ego[:2]) <= CLASS_RANGE[name]:
+                kept.append(b)
+        return kept
+
+    def evaluate(self) -> Dict:
+        tokens = sorted(self.gt.keys())
+        gt_f = {t: self._filter(self.gt[t], t) for t in tokens}
+        pred_f = {}
+        for t in tokens:
+            preds = self.results.get(t, [])
+            preds = sorted(preds, key=lambda b: -b["detection_score"])
+            pred_f[t] = self._filter(preds[:MAX_BOXES_PER_SAMPLE], t)
+
+        classes = sorted(CLASS_RANGE.keys())
+        ap = {}
+        tp_errors = {}
+        for cls in classes:
+            aps = []
+            for th in DIST_THRESHOLDS:
+                a, errs = self._accumulate(cls, th, gt_f, pred_f, tokens)
+                aps.append(a)
+                if th == TP_DIST_THRESHOLD:
+                    tp_errors[cls] = errs
+            ap[cls] = float(np.mean(aps))
+
+        # classes with no GT at all: devkit leaves AP 0 but they still count;
+        # follow devkit mean over the 10 classes with GT present
+        present = [c for c in classes
+                   if any(b["detection_name"] == c
+                          for t in tokens for b in gt_f[t])]
+        mean_ap = float(np.mean([ap[c] for c in present])) if present else 0.0
+
+        tp_names = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+        mean_tp = {}
+        for name in tp_names:
+            vals = [tp_errors[c][name] for c in present
+                    if not np.isnan(tp_errors[c][name])]
+            mean_tp[name] = float(np.mean(vals)) if vals else 1.0
+
+        tp_scores = [max(1.0 - mean_tp[n], 0.0) for n in tp_names]
+        nds = (5.0 * mean_ap + sum(tp_scores)) / 10.0
+
+        return {
+            "mean_ap": mean_ap, "nd_score": nds,
+            "label_aps": ap, "tp_errors": mean_tp,
+            "mean_dist_aps": ap,
+        }
+
+    def _accumulate(self, cls: str, dist_th: float, gt_f, pred_f, tokens):
+        # gather all predictions of the class across samples
+        preds = []
+        for t in tokens:
+            for b in pred_f[t]:
+                if b["detection_name"] == cls:
+                    preds.append((t, b))
+        npos = sum(1 for t in tokens for b in gt_f[t]
+                   if b["detection_name"] == cls)
+        nan_errs = dict(trans_err=np.nan, scale_err=np.nan, orient_err=np.nan,
+                        vel_err=np.nan, attr_err=np.nan)
+        if npos == 0 or not preds:
+            return 0.0, nan_errs
+
+        preds.sort(key=lambda tb: -tb[1]["detection_score"])
+        matched = {t: np.zeros(len(gt_f[t]), bool) for t in tokens}
+
+        tp_flags = []
+        match_errs = {k: [] for k in nan_errs}
+        for t, pred in preds:
+            center = np.asarray(pred["translation"][:2], float)
+            best, best_d = -1, np.inf
+            for gi, gt in enumerate(gt_f[t]):
+                if matched[t][gi] or gt["detection_name"] != cls:
+                    continue
+                d = np.linalg.norm(
+                    center - np.asarray(gt["translation"][:2], float))
+                if d < best_d:
+                    best, best_d = gi, d
+            if best >= 0 and best_d <= dist_th:
+                matched[t][best] = True
+                tp_flags.append(True)
+                gt = gt_f[t][best]
+                match_errs["trans_err"].append(best_d)
+                match_errs["scale_err"].append(
+                    1.0 - _scale_iou(np.asarray(pred["size"]),
+                                     np.asarray(gt["size"])))
+                period = np.pi if cls == "barrier" else 2 * np.pi
+                if cls != "traffic_cone":
+                    match_errs["orient_err"].append(_angle_diff(
+                        _yaw_from_rotation(pred["rotation"]),
+                        _yaw_from_rotation(gt["rotation"]), period))
+                if cls not in ("barrier", "traffic_cone"):
+                    pv = np.asarray(pred.get("velocity", (0, 0))[:2], float)
+                    gv = np.asarray(gt.get("velocity", (0, 0))[:2], float)
+                    if np.isfinite(gv).all():
+                        match_errs["vel_err"].append(
+                            float(np.linalg.norm(pv - gv)))
+                    match_errs["attr_err"].append(
+                        0.0 if pred.get("attribute_name") ==
+                        gt.get("attribute_name") else 1.0)
+            else:
+                tp_flags.append(False)
+
+        tp = np.cumsum(tp_flags).astype(float)
+        fp = np.cumsum(~np.asarray(tp_flags)).astype(float)
+        rec = tp / npos
+        prec = tp / np.maximum(tp + fp, 1e-12)
+
+        rec_interp = np.linspace(0, 1, 101)
+        prec_interp = np.interp(rec_interp, rec, prec, right=0)
+        ap = _calc_ap(prec_interp)
+
+        errs = {}
+        for k, vals in match_errs.items():
+            errs[k] = float(np.mean(vals)) if vals else np.nan
+        return ap, errs
+
+
+def ground_truth_from_db(nusc, sample_tokens: List[str]):
+    """Builds the eval ground-truth + ego positions from a NuScenes DB."""
+    from radargnn_tpu.data.nuscenes.dataset_creation import CLASS_NAME_TO_ID
+    from radargnn_tpu.data.nuscenes.submission import DETECTION_NAMES
+
+    gt = {}
+    ego = {}
+    for token in sample_tokens:
+        sample = nusc.get("sample", token)
+        sd = nusc.get("sample_data", sample["data"]["LIDAR_TOP"])
+        pose = nusc.get("ego_pose", sd["ego_pose_token"])
+        ego[token] = tuple(pose["translation"][:2])
+        boxes = []
+        for ann_token in sample["anns"]:
+            ann = nusc.get("sample_annotation", ann_token)
+            if ann["num_lidar_pts"] + ann["num_radar_pts"] == 0:
+                continue
+            box = nusc.box_from_annotation(ann)
+            label = CLASS_NAME_TO_ID.get(box.name, 0)
+            if label == 0:
+                continue
+            attr = ""
+            if ann.get("attribute_tokens"):
+                attr = nusc.get("attribute",
+                                ann["attribute_tokens"][0])["name"]
+            boxes.append({
+                "translation": tuple(box.center),
+                "size": tuple(box.wlh),
+                "rotation": tuple(box.orientation.elements),
+                "detection_name": DETECTION_NAMES[label],
+                "attribute_name": attr,
+                "velocity": (0.0, 0.0),
+            })
+        gt[token] = boxes
+    return gt, ego

@@ -1,0 +1,317 @@
+"""nuScenes pipeline on synthetic nuScenes-format data: DB reader, PCD
+parsing, multisweep transforms, dataset creation, submission, native
+detection eval."""
+
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from radargnn_tpu.configs import (
+    GraphConstructionConfiguration, NuScenesDatasetConfiguration,
+)
+from radargnn_tpu.data.nuscenes.quaternion import Quaternion
+from radargnn_tpu.data.nuscenes.db import NuScenes, parse_pcd
+from radargnn_tpu.data.nuscenes.dataset_creation import NuScenesGraphDataset
+from radargnn_tpu.data.nuscenes.detection_eval import (
+    NuScenesDetectionEval, _calc_ap,
+)
+
+RADAR_FIELDS = ["x", "y", "z", "dyn_prop", "id", "rcs", "vx", "vy",
+                "vx_comp", "vy_comp", "is_quality_valid", "ambig_state",
+                "x_rms", "y_rms", "invalid_state", "pdh0", "vx_rms", "vy_rms"]
+
+
+def _write_radar_pcd(path, points18: np.ndarray):
+    """points18: (18, N) float; writes binary PCD like nuScenes radar."""
+    n = points18.shape[1]
+    types = ["F"] * 18
+    sizes = [4] * 18
+    header = "\n".join([
+        "# .PCD v0.7 - Point Cloud Data file format",
+        "VERSION 0.7",
+        "FIELDS " + " ".join(RADAR_FIELDS),
+        "SIZE " + " ".join(map(str, sizes)),
+        "TYPE " + " ".join(types),
+        "COUNT " + " ".join(["1"] * 18),
+        f"WIDTH {n}", "HEIGHT 1",
+        "VIEWPOINT 0 0 0 1 0 0 0",
+        f"POINTS {n}", "DATA binary", ""])
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        for i in range(n):
+            f.write(struct.pack("<" + "f" * 18,
+                                *points18[:, i].astype(np.float32)))
+
+
+def _identity_quat():
+    return [1.0, 0.0, 0.0, 0.0]
+
+
+def _make_nuscenes_root(tmp_path, scene_names=("scene-0061", "scene-0103"),
+                        samples_per_scene=2, seed=0):
+    rng = np.random.default_rng(seed)
+    root = str(tmp_path / "nuscenes")
+    raw = os.path.join(root, "raw")
+    version = "v1.0-mini"
+    table_dir = os.path.join(raw, version)
+    os.makedirs(table_dir)
+    os.makedirs(os.path.join(raw, "sweeps"), exist_ok=True)
+
+    sensors = ["RADAR_FRONT", "RADAR_FRONT_LEFT", "RADAR_FRONT_RIGHT",
+               "RADAR_BACK_LEFT", "RADAR_BACK_RIGHT", "LIDAR_TOP"]
+    tables = {t: [] for t in ("scene", "sample", "sample_data",
+                              "sample_annotation", "ego_pose",
+                              "calibrated_sensor", "category", "instance",
+                              "attribute", "sensor")}
+
+    tables["category"].append({"token": "cat_car", "name": "vehicle.car"})
+    tables["category"].append({"token": "cat_ped",
+                               "name": "human.pedestrian.adult"})
+    tables["attribute"].append({"token": "attr_mv", "name": "vehicle.moving"})
+
+    for t_sensor in sensors:
+        tables["sensor"].append({"token": f"sensor_{t_sensor}",
+                                 "channel": t_sensor,
+                                 "modality": "radar" if "RADAR" in t_sensor
+                                 else "lidar"})
+        tables["calibrated_sensor"].append({
+            "token": f"cs_{t_sensor}",
+            "sensor_token": f"sensor_{t_sensor}",
+            "translation": [0.0, 0.0, 0.0],
+            "rotation": _identity_quat(),
+            "camera_intrinsic": []})
+
+    inst_count = 0
+    for s_i, scene_name in enumerate(scene_names):
+        scene_token = f"scenetok{s_i}"
+        sample_tokens = [f"sample{s_i}x{k}" for k in range(samples_per_scene)]
+        tables["scene"].append({
+            "token": scene_token, "name": scene_name,
+            "nbr_samples": samples_per_scene,
+            "first_sample_token": sample_tokens[0],
+            "last_sample_token": sample_tokens[-1]})
+
+        for k, token in enumerate(sample_tokens):
+            ts = 1_000_000 + 500_000 * k
+            pose_token = f"pose{s_i}x{k}"
+            tables["ego_pose"].append({
+                "token": pose_token, "timestamp": ts,
+                "translation": [100.0 * s_i, 0.0, 0.0],
+                "rotation": _identity_quat()})
+
+            data = {}
+            ann_tokens = []
+            # one car object per sample at a fixed vehicle-frame spot
+            car_center_vehicle = np.array([10.0, 5.0, 0.8])
+            car_center_global = car_center_vehicle + np.array(
+                [100.0 * s_i, 0.0, 0.0])
+            inst_token = f"inst{inst_count}"
+            inst_count += 1
+            tables["instance"].append({"token": inst_token,
+                                       "category_token": "cat_car"})
+            ann_token = f"ann{s_i}x{k}"
+            ann_tokens.append(ann_token)
+            tables["sample_annotation"].append({
+                "token": ann_token, "sample_token": token,
+                "instance_token": inst_token,
+                "translation": car_center_global.tolist(),
+                "size": [1.8, 4.2, 1.6],            # w, l, h
+                "rotation": _identity_quat(),
+                "num_lidar_pts": 5, "num_radar_pts": 3,
+                "attribute_tokens": ["attr_mv"],
+                "prev": "", "next": ""})
+
+            for t_sensor in sensors:
+                sd_token = f"sd{s_i}x{k}x{t_sensor}"
+                fname = f"sweeps/{sd_token}.pcd"
+                if "RADAR" in t_sensor:
+                    n_pts = 30
+                    pts = np.zeros((18, n_pts))
+                    pts[0] = rng.uniform(2, 40, n_pts)      # x
+                    pts[1] = rng.uniform(-20, 20, n_pts)    # y
+                    pts[5] = rng.normal(0, 5, n_pts)        # rcs
+                    pts[8] = rng.normal(0, 2, n_pts)        # vx_comp
+                    pts[9] = rng.normal(0, 2, n_pts)
+                    # put a few points inside the car box
+                    pts[0, :4] = car_center_vehicle[0] + rng.uniform(-1.5, 1.5, 4)
+                    pts[1, :4] = car_center_vehicle[1] + rng.uniform(-0.6, 0.6, 4)
+                    _write_radar_pcd(os.path.join(raw, fname), pts)
+                tables["sample_data"].append({
+                    "token": sd_token, "sample_token": token,
+                    "ego_pose_token": pose_token,
+                    "calibrated_sensor_token": f"cs_{t_sensor}",
+                    "timestamp": ts, "filename": fname,
+                    "is_key_frame": True, "prev": "", "next": ""})
+                data[t_sensor] = sd_token
+
+            tables["sample"].append({
+                "token": token, "timestamp": ts, "scene_token": scene_token,
+                "data": data, "anns": ann_tokens,
+                "prev": sample_tokens[k - 1] if k else "",
+                "next": sample_tokens[k + 1] if k + 1 < samples_per_scene else ""})
+
+    for name, rows in tables.items():
+        with open(os.path.join(table_dir, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+    return root
+
+
+def test_quaternion_basics():
+    q = Quaternion(axis=[0, 0, 1], angle=np.pi / 2)
+    v = q.rotate([1.0, 0, 0])
+    np.testing.assert_allclose(v, [0, 1, 0], atol=1e-12)
+    yaw, pitch, roll = q.yaw_pitch_roll
+    assert yaw == pytest.approx(np.pi / 2)
+    np.testing.assert_allclose((q * q.inverse).elements, [1, 0, 0, 0],
+                               atol=1e-12)
+    np.testing.assert_allclose(q.rotation_matrix @ q.inverse.rotation_matrix,
+                               np.eye(3), atol=1e-12)
+
+
+def test_pcd_roundtrip(tmp_path):
+    pts = np.arange(18 * 7, dtype=np.float64).reshape(18, 7)
+    path = str(tmp_path / "test.pcd")
+    _write_radar_pcd(path, pts)
+    back = parse_pcd(path)
+    np.testing.assert_allclose(back, pts, rtol=1e-6)
+
+
+def test_nuscenes_dataset_creation(tmp_path):
+    root = _make_nuscenes_root(tmp_path)
+    graph_config = GraphConstructionConfiguration(
+        "knn", {"k": 4, "r": 1.0}, ["rcs", "velocity_vector", "degree"],
+        ["relative_position"], "directed", "X")
+    dataset_config = NuScenesDatasetConfiguration(
+        version="v1.0-mini", nsweeps=1, crop_point_cloud=True,
+        crop_settings={"x": 100, "y": 100}, bb_invariance="translation")
+
+    NuScenesGraphDataset(root, graph_config, dataset_config)
+
+    train_dir = os.path.join(root, "processed", "train")
+    val_dir = os.path.join(root, "processed", "validate")
+    train_files = os.listdir(train_dir)
+    val_files = os.listdir(val_dir)
+    assert len(train_files) == 2        # scene-0061, 2 samples
+    assert len(val_files) == 2          # scene-0103
+
+    from radargnn_tpu.graph.batch import GraphSample
+    sample = GraphSample.load_npz(os.path.join(train_dir, sorted(train_files)[0]))
+    # 5 radar sensors × 30 points
+    assert sample.num_nodes == 150
+    # car points labeled 4 with finite boxes
+    car = sample.labels == 4
+    assert car.sum() >= 4 * 5
+    assert np.isfinite(sample.boxes[car]).all()
+    assert np.isnan(sample.boxes[~car]).all()
+
+
+def test_native_detection_eval_perfect_predictions(tmp_path):
+    root = _make_nuscenes_root(tmp_path)
+    nusc = NuScenes("v1.0-mini", os.path.join(root, "raw"))
+    from radargnn_tpu.data.nuscenes.detection_eval import ground_truth_from_db
+
+    tokens = [s["token"] for s in nusc.sample]
+    gt, ego = ground_truth_from_db(nusc, tokens)
+
+    results = {t: [dict(b, detection_score=0.9, sample_token=t)
+                   for b in gt[t]] for t in tokens}
+    ev = NuScenesDetectionEval({"results": results}, gt, ego)
+    out = ev.evaluate()
+    # perfect predictions: AP = 1 after min-recall/precision normalization
+    assert out["label_aps"]["car"] == pytest.approx(1.0)
+    assert out["mean_ap"] == pytest.approx(1.0)
+    assert out["nd_score"] == pytest.approx(1.0)
+    assert out["tp_errors"]["trans_err"] == pytest.approx(0.0)
+
+
+def test_native_detection_eval_misses():
+    gt = {"s1": [{"translation": (0, 0, 0), "size": (2, 4, 1.5),
+                  "rotation": (1, 0, 0, 0), "detection_name": "car",
+                  "attribute_name": "vehicle.moving", "velocity": (0, 0)}]}
+    ego = {"s1": (0.0, 0.0)}
+    # prediction 10 m off: no match at any threshold
+    results = {"s1": [{"translation": (10, 0, 0), "size": (2, 4, 1.5),
+                       "rotation": (1, 0, 0, 0), "detection_name": "car",
+                       "attribute_name": "vehicle.moving", "velocity": (0, 0),
+                       "detection_score": 0.9, "sample_token": "s1"}]}
+    out = NuScenesDetectionEval({"results": results}, gt, ego).evaluate()
+    assert out["label_aps"]["car"] == 0.0
+
+
+def test_calc_ap_clipping():
+    # constant precision 1.0 over all recall -> AP 1
+    assert _calc_ap(np.ones(101)) == pytest.approx(1.0)
+    # precision 0.1 everywhere -> clipped to 0
+    assert _calc_ap(np.full(101, 0.1)) == pytest.approx(0.0)
+
+
+def test_nuscenes_evaluator_end_to_end(tmp_path):
+    """Full nuScenes evaluate flow with perfect predictions decoded from GT."""
+    from radargnn_tpu.configs import PostProcessingConfiguration
+    from radargnn_tpu.data.loader import get_data_loaders
+    from radargnn_tpu.postprocess.extraction import Postprocessor, PredictionExtractor
+    from radargnn_tpu.data.nuscenes.evaluation import NuscenesEvaluator
+    import glob
+
+    root = _make_nuscenes_root(tmp_path)
+    graph_config = GraphConstructionConfiguration(
+        "knn", {"k": 4, "r": 1.0}, ["rcs", "velocity_vector", "degree"],
+        ["relative_position"], "directed", "X")
+    dataset_config = NuScenesDatasetConfiguration(
+        version="v1.0-mini", nsweeps=1, crop_point_cloud=True,
+        crop_settings={"x": 100, "y": 100}, bb_invariance="translation")
+    NuScenesGraphDataset(root, graph_config, dataset_config)
+
+    config = PostProcessingConfiguration(
+        split="validate", iou_for_nms=0.01,
+        min_object_score={n: 0.3 for n in
+                          ("barrier", "bicycle", "bus", "car", "construction",
+                           "motorcycle", "pedestrian", "trafficcone",
+                           "trailer", "truck")},
+        max_score_for_background=0.5, iou_for_mAP=0.3, use_point_iou=True,
+        bg_index=0, bb_invariance="translation")
+
+    loaders, _ = get_data_loaders(["validate"], os.path.join(root, "processed"),
+                                  batch_size=1, shuffle=False, bg_index=0)
+    graph_names = sorted(glob.glob(
+        os.path.join(root, "processed", "validate", "*.npz")))
+
+    # build perfect predictions directly from stored GT
+    from radargnn_tpu.graph.batch import GraphSample
+    raw_pos, raw_vel = [], []
+    preds = {"bounding_box_predictions": [], "class_probability_prediction": []}
+    gts = {"bounding_box_true": [], "class_true": []}
+    for name in graph_names:
+        s = GraphSample.load_npz(name)
+        raw_pos.append(s.pos.astype(np.float64))
+        raw_vel.append(s.vel.astype(np.float64))
+        probs = np.full((s.num_nodes, 11), 0.005)
+        probs[np.arange(s.num_nodes), s.labels] = 0.9
+        preds["bounding_box_predictions"].append(
+            np.nan_to_num(s.boxes.astype(np.float64)))
+        preds["class_probability_prediction"].append(probs)
+        gts["bounding_box_true"].append(s.boxes.astype(np.float64))
+        gts["class_true"].append(s.labels.astype(np.float64))
+
+    pp = Postprocessor()
+    bb_p, bb_g, cls_p, cls_g = pp.process(config, raw_pos, raw_vel, preds, gts)
+    cls_pred_label = PredictionExtractor().extract(preds)
+
+    model_dir = str(tmp_path / "model")
+    os.makedirs(model_dir)
+    ev = NuscenesEvaluator(config=config, version="v1.0-mini",
+                           dataset_path=os.path.join(root, "raw"),
+                           model_path=model_dir)
+    ev.evaluate(bb_p, bb_g, cls_p, cls_pred_label, cls_g, raw_vel,
+                graph_names=graph_names)
+    folder = ev.save_results()
+
+    assert os.path.exists(os.path.join(folder, "submission.json"))
+    assert os.path.exists(os.path.join(folder, "nuscenes_metrics.json"))
+    with open(os.path.join(folder, "nuscenes_metrics.json")) as f:
+        metrics = json.load(f)
+    assert metrics["mean_ap"] > 0.9           # perfect boxes -> near-perfect AP
+    assert 0 <= metrics["nd_score"] <= 1
