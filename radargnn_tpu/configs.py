@@ -211,6 +211,11 @@ class GNNArchitectureConfig:
     conv_use_edge_encoder: bool = False
     aggregation_function: str = "max"
 
+    # ---- TPU-native extension: matmul compute dtype ("float32"|"bfloat16").
+    # Parameters and reductions stay float32; bfloat16 feeds the MXU at its
+    # full rate and halves gather bandwidth on the edge hot path.
+    compute_dtype: str = "float32"
+
 
 @dataclass
 class TrainingConfig:

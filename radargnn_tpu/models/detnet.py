@@ -38,17 +38,18 @@ class DetNet(nn.Module):
                  edge_mask: Optional[jnp.ndarray] = None,
                  train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
+        dtype = getattr(cfg, "compute_dtype", "float32")
         x = node_feat
         e = edge_feat
 
         if cfg.initial_node_feature_embedding:
             dims = list(cfg.node_feature_embedding_layer_dimensions)
-            x = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps,
+            x = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                     name="node_emb_mlp")(x, node_mask, train)
 
         if cfg.initial_edge_feature_embedding:
             dims = list(cfg.edge_feature_embedding_layer_dimensions)
-            e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps,
+            e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                     name="edge_emb_mlp")(e, edge_mask, train)
 
         for i, layer_dim in enumerate(cfg.conv_layer_dimensions):
@@ -58,12 +59,14 @@ class DetNet(nn.Module):
                              pre_layers=cfg.conv_pre_mlp_layer_number,
                              post_layers=cfg.conv_post_mlp_layer_number,
                              use_edge_encoder=cfg.conv_use_edge_encoder,
+                             dtype=dtype,
                              name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
             elif cfg.conv_layer_type == "RadarPointGNNConv":
                 x = RadarPointGNNConv(
                     aggr=cfg.aggregation_function,
                     pre_layers=cfg.conv_pre_mlp_layer_number,
                     post_layers=cfg.conv_post_mlp_layer_number,
+                    dtype=dtype,
                     name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
             else:
                 raise ValueError(
@@ -73,11 +76,11 @@ class DetNet(nn.Module):
             x = nn.relu(x)
 
         cls_dims = list(cfg.classification_head_layer_dimensions)
-        cls = MLP(cls_dims[-1], cls_dims[:-1], cfg.batch_norm_in_mlps,
+        cls = MLP(cls_dims[-1], cls_dims[:-1], cfg.batch_norm_in_mlps, dtype,
                   name="classification_head")(x, node_mask, train)
 
         reg_dims = list(cfg.regression_head_layer_dimensions)
-        bb = MLP(reg_dims[-1], reg_dims[:-1], cfg.batch_norm_in_mlps,
+        bb = MLP(reg_dims[-1], reg_dims[:-1], cfg.batch_norm_in_mlps, dtype,
                  name="regression_head")(x, node_mask, train)
 
         return cls, bb

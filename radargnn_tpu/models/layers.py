@@ -35,6 +35,7 @@ class MPNNConv(nn.Module):
     pre_layers: int = 1
     post_layers: int = 1
     use_edge_encoder: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
@@ -44,20 +45,26 @@ class MPNNConv(nn.Module):
         in_channels = x.shape[-1]
 
         if self.use_edge_encoder:
-            edge_attr = TorchLinear(in_channels, name="edge_encoder")(edge_attr)
+            edge_attr = TorchLinear(in_channels, dtype=self.dtype,
+                                    name="edge_encoder")(edge_attr)
             pre_mlp_dim = 3 * in_channels
         else:
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
 
-        m_in = jnp.concatenate(
-            [x[receivers], x[senders], edge_attr], axis=-1)
-        m = LinearReluStack([pre_mlp_dim] * self.pre_layers, name="pre_mlp")(m_in)
+        # cast BEFORE the gather: halves the dominant HBM traffic in bf16
+        xc = x.astype(self.dtype) if self.dtype != "float32" else x
+        ec = edge_attr.astype(self.dtype) if self.dtype != "float32" \
+            else edge_attr
+        m_in = jnp.concatenate([xc[receivers], xc[senders], ec], axis=-1)
+        m = LinearReluStack([pre_mlp_dim] * self.pre_layers,
+                            dtype=self.dtype, name="pre_mlp")(m_in)
 
         aggr = segment_reduce(self.aggr, m, receivers, num_nodes, edge_mask)
 
         out = jnp.concatenate([x, aggr], axis=-1)
         post_sizes = [self.out_channels] * self.post_layers
-        return LinearReluStack(post_sizes, name="post_mlp")(out)
+        return LinearReluStack(post_sizes, dtype=self.dtype,
+                               name="post_mlp")(out)
 
 
 class RadarPointGNNConv(nn.Module):
@@ -67,6 +74,7 @@ class RadarPointGNNConv(nn.Module):
     aggr: str = "max"
     pre_layers: int = 1
     post_layers: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
@@ -76,12 +84,16 @@ class RadarPointGNNConv(nn.Module):
         node_dim = x.shape[-1]
         pre_mlp_dim = node_dim + edge_attr.shape[-1]
 
-        m_in = jnp.concatenate([x[senders], edge_attr], axis=-1)
-        m = LinearReluStack([pre_mlp_dim] * self.pre_layers, name="pre_mlp")(m_in)
+        xc = x.astype(self.dtype) if self.dtype != "float32" else x
+        ec = edge_attr.astype(self.dtype) if self.dtype != "float32" \
+            else edge_attr
+        m_in = jnp.concatenate([xc[senders], ec], axis=-1)
+        m = LinearReluStack([pre_mlp_dim] * self.pre_layers,
+                            dtype=self.dtype, name="pre_mlp")(m_in)
 
         aggr = segment_reduce(self.aggr, m, receivers, num_nodes, edge_mask)
 
         out = jnp.concatenate([x, aggr], axis=-1)
         post_sizes = [node_dim] * self.post_layers
-        h = LinearReluStack(post_sizes, name="post_mlp")(out)
+        h = LinearReluStack(post_sizes, dtype=self.dtype, name="post_mlp")(out)
         return h + x

@@ -37,17 +37,27 @@ def torch_linear_init():
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch-default initialization."""
+    """Dense layer with torch-default initialization.
+
+    `dtype` selects the matmul compute dtype (params stay float32;
+    bfloat16 inputs feed the MXU at full rate with float32 accumulation).
+    """
 
     features: int
     use_bias: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         fan_in = x.shape[-1]
         kernel_init, bias_init = torch_linear_init()
         kernel = self.param("kernel", kernel_init, (fan_in, self.features))
-        y = x @ kernel
+        if self.dtype != "float32":
+            cd = jnp.dtype(self.dtype)
+            y = jnp.dot(x.astype(cd), kernel.astype(cd),
+                        preferred_element_type=jnp.float32)
+        else:
+            y = x @ kernel
         if self.use_bias:
             bias = self.param(
                 "bias", lambda k, s: jax.random.uniform(
@@ -110,27 +120,28 @@ class MLP(nn.Module):
     out_size: int
     hidden_layer_sizes: Sequence[int] = ()
     batch_norm: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None,
                  train: bool = True) -> jnp.ndarray:
         hidden: List[int] = list(self.hidden_layer_sizes)
         if not hidden:
-            return TorchLinear(self.out_size, name="lin_0")(x)
+            return TorchLinear(self.out_size, dtype=self.dtype, name="lin_0")(x)
 
-        x = TorchLinear(hidden[0], name="lin_0")(x)
+        x = TorchLinear(hidden[0], dtype=self.dtype, name="lin_0")(x)
         li, bi = 1, 0
         for layer_size in hidden[1:]:
             if self.batch_norm:
                 x = MaskedBatchNorm(name=f"bn_{bi}")(x, mask, train)
                 bi += 1
             x = nn.relu(x)
-            x = TorchLinear(layer_size, name=f"lin_{li}")(x)
+            x = TorchLinear(layer_size, dtype=self.dtype, name=f"lin_{li}")(x)
             li += 1
         if self.batch_norm:
             x = MaskedBatchNorm(name=f"bn_{bi}")(x, mask, train)
         x = nn.relu(x)
-        return TorchLinear(self.out_size, name=f"lin_{li}")(x)
+        return TorchLinear(self.out_size, dtype=self.dtype, name=f"lin_{li}")(x)
 
 
 class LinearReluStack(nn.Module):
@@ -138,11 +149,12 @@ class LinearReluStack(nn.Module):
     (`gnn/mpnn_layers.py:64-74` in /root/reference)."""
 
     layer_sizes: Sequence[int]          # output size of each Linear
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, size in enumerate(self.layer_sizes):
             if i > 0:
                 x = nn.relu(x)
-            x = TorchLinear(size, name=f"lin_{i}")(x)
+            x = TorchLinear(size, dtype=self.dtype, name=f"lin_{i}")(x)
         return x
