@@ -1,0 +1,165 @@
+// Native host-side geometry kernels for the offline data pipeline.
+//
+// TPU-native equivalents of the compiled third-party deps on the reference's
+// preprocessing hot paths (SURVEY.md §2b): sklearn's C ball-tree kNN
+// (graph_constructor/graph.py:57) and qhull's convex hull / min-area
+// rectangle (utils/math.py:302-439 in /root/reference).
+//
+// Build: g++ -O3 -march=native -shared -fPIC geometry.cpp -o libradargnn_native.so
+// Loaded via ctypes (radargnn_tpu.native); numpy fallbacks remain authoritative
+// for semantics.
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <limits>
+#include <vector>
+
+extern "C" {
+
+// kNN edge list: for each point i, its k nearest neighbors by squared
+// euclidean distance over d dims, neighbors ordered ascending by distance.
+// out_edges: (n*k, 2) int64 rows (sender, receiver). Ties broken by index.
+void knn_edges(const double* pts, int64_t n, int64_t d, int64_t k,
+               int64_t* out_edges) {
+    if (k > n - 1) k = n - 1;
+    std::vector<std::pair<double, int64_t>> cand(n);
+    for (int64_t i = 0; i < n; ++i) {
+        const double* pi = pts + i * d;
+        for (int64_t j = 0; j < n; ++j) {
+            if (j == i) {
+                cand[j] = {std::numeric_limits<double>::infinity(), j};
+                continue;
+            }
+            const double* pj = pts + j * d;
+            double s = 0.0;
+            for (int64_t c = 0; c < d; ++c) {
+                double diff = pi[c] - pj[c];
+                s += diff * diff;
+            }
+            cand[j] = {s, j};
+        }
+        std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
+        for (int64_t m = 0; m < k; ++m) {
+            out_edges[(i * k + m) * 2] = i;
+            out_edges[(i * k + m) * 2 + 1] = cand[m].second;
+        }
+    }
+}
+
+// 1-NN index per point (self excluded).
+void nearest_neighbor(const double* pts, int64_t n, int64_t d, int64_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const double* pi = pts + i * d;
+        double best = std::numeric_limits<double>::infinity();
+        int64_t best_j = 0;
+        for (int64_t j = 0; j < n; ++j) {
+            if (j == i) continue;
+            const double* pj = pts + j * d;
+            double s = 0.0;
+            for (int64_t c = 0; c < d; ++c) {
+                double diff = pi[c] - pj[c];
+                s += diff * diff;
+            }
+            if (s < best) { best = s; best_j = j; }
+        }
+        out[i] = best_j;
+    }
+}
+
+static inline double cross2(const double* o, const double* a, const double* b) {
+    return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0]);
+}
+
+// Monotone-chain convex hull (CCW, unique points). Returns hull size.
+static int64_t convex_hull(const double* pts_in, int64_t n, double* hull) {
+    std::vector<std::array<double, 2>> p(n);
+    for (int64_t i = 0; i < n; ++i) p[i] = {pts_in[2 * i], pts_in[2 * i + 1]};
+    std::sort(p.begin(), p.end());
+    p.erase(std::unique(p.begin(), p.end()), p.end());
+    int64_t m = (int64_t)p.size();
+    if (m <= 2) {
+        for (int64_t i = 0; i < m; ++i) {
+            hull[2 * i] = p[i][0];
+            hull[2 * i + 1] = p[i][1];
+        }
+        return m;
+    }
+    std::vector<std::array<double, 2>> chain(2 * m);
+    int64_t sz = 0;
+    for (int64_t i = 0; i < m; ++i) {            // lower
+        while (sz >= 2 && cross2(chain[sz - 2].data(), chain[sz - 1].data(),
+                                 p[i].data()) <= 0)
+            --sz;
+        chain[sz++] = p[i];
+    }
+    int64_t lower = sz + 1;
+    for (int64_t i = m - 2; i >= 0; --i) {       // upper
+        while (sz >= lower && cross2(chain[sz - 2].data(), chain[sz - 1].data(),
+                                     p[i].data()) <= 0)
+            --sz;
+        chain[sz++] = p[i];
+    }
+    --sz;                                        // last point == first
+    for (int64_t i = 0; i < sz; ++i) {
+        hull[2 * i] = chain[i][0];
+        hull[2 * i + 1] = chain[i][1];
+    }
+    return sz;
+}
+
+// Minimum-area enclosing rotated rectangle via rotating calipers over hull
+// edges. out_corners: (4, 2) in (+,+),(+,-),(-,-),(-,+) box-frame order
+// (matching radargnn_tpu.utils.geometry). Returns 0 on success.
+int min_area_rect(const double* pts, int64_t n, double* out_corners) {
+    if (n < 3) return 1;
+    std::vector<double> hull(2 * n);
+    int64_t h = convex_hull(pts, n, hull.data());
+    if (h < 3) return 1;
+
+    double best_area = std::numeric_limits<double>::infinity();
+    double bu[2] = {1, 0}, bo[2] = {0, 1};
+    double bmin_p = 0, blen_p = 0, bmin_o = 0, blen_o = 0;
+
+    for (int64_t i = 0; i < h; ++i) {
+        int64_t j = (i + 1) % h;
+        double ex = hull[2 * j] - hull[2 * i];
+        double ey = hull[2 * j + 1] - hull[2 * i + 1];
+        double len = std::sqrt(ex * ex + ey * ey);
+        if (len == 0) continue;
+        double ux = ex / len, uy = ey / len;
+        double ox = -uy, oy = ux;
+
+        double min_p = std::numeric_limits<double>::infinity(), max_p = -min_p;
+        double min_o = min_p, max_o = -min_p;
+        for (int64_t q = 0; q < h; ++q) {
+            double px = hull[2 * q], py = hull[2 * q + 1];
+            double pp = ux * px + uy * py;
+            double po = ox * px + oy * py;
+            min_p = std::min(min_p, pp); max_p = std::max(max_p, pp);
+            min_o = std::min(min_o, po); max_o = std::max(max_o, po);
+        }
+        double area = (max_p - min_p) * (max_o - min_o);
+        if (area < best_area) {
+            best_area = area;
+            bu[0] = ux; bu[1] = uy; bo[0] = ox; bo[1] = oy;
+            bmin_p = min_p; blen_p = max_p - min_p;
+            bmin_o = min_o; blen_o = max_o - min_o;
+        }
+    }
+
+    double cp = bmin_p + blen_p / 2, co = bmin_o + blen_o / 2;
+    double cx = bu[0] * cp + bo[0] * co;
+    double cy = bu[1] * cp + bo[1] * co;
+    double hpx = bu[0] * blen_p / 2, hpy = bu[1] * blen_p / 2;
+    double hox = bo[0] * blen_o / 2, hoy = bo[1] * blen_o / 2;
+
+    out_corners[0] = cx + hpx + hox; out_corners[1] = cy + hpy + hoy;
+    out_corners[2] = cx + hpx - hox; out_corners[3] = cy + hpy - hoy;
+    out_corners[4] = cx - hpx - hox; out_corners[5] = cy - hpy - hoy;
+    out_corners[6] = cx - hpx + hox; out_corners[7] = cy - hpy + hoy;
+    return 0;
+}
+
+}  // extern "C"

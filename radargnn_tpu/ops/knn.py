@@ -136,6 +136,10 @@ def knn_edges_host(x: np.ndarray, k: int) -> np.ndarray:
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[0]
     k = min(k, n - 1)
+    from radargnn_tpu import native
+    res = native.knn_edges(x, k)
+    if res is not None:
+        return res
     d2 = _pairwise_sq_dists_np(x)
     part = np.argpartition(d2, k - 1, axis=1)[:, :k]
     part_d = np.take_along_axis(d2, part, axis=1)
@@ -154,6 +158,11 @@ def radius_edges_host(x: np.ndarray, r: float) -> np.ndarray:
 
 
 def nearest_neighbor_host(x: np.ndarray) -> np.ndarray:
-    """1-NN index per point (self excluded); numpy."""
-    d2 = _pairwise_sq_dists_np(np.asarray(x, dtype=np.float64))
+    """1-NN index per point (self excluded); native C++ or numpy."""
+    x = np.asarray(x, dtype=np.float64)
+    from radargnn_tpu import native
+    res = native.nearest_neighbor(x)
+    if res is not None:
+        return res
+    d2 = _pairwise_sq_dists_np(x)
     return np.argmin(d2, axis=1)

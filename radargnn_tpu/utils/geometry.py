@@ -202,6 +202,10 @@ def minimum_bounding_rectangle_with_rotation(points: np.ndarray) -> np.ndarray:
     4 corner points (4×2) in (+,+), (+,-), (-,-), (-,+) order of the box frame.
     """
     points = np.asarray(points, dtype=np.float64)
+    from radargnn_tpu import native
+    res = native.min_area_rect(points)
+    if res is not None:
+        return res
     hull = convex_hull(points)
     if hull.shape[0] <= 2:
         raise ValueError("More than two points required.")
