@@ -1,10 +1,15 @@
 """Benchmark: edges/s through the flagship RadarScenes edge-conv train step.
 
-Measures the full jitted training step (forward + backward + Adam update) of
-the translation-invariant RadarScenes model (configuration_radarscenes.yml:
-k=20 kNN, conv dims [224,224,128,64,32], node/edge embedding MLPs) on
-synthetic frames shaped like cropped RadarScenes clouds, and reports
-valid-edges processed per second.
+Measures the full training step (forward + backward + Adam update) of the
+translation-invariant RadarScenes model (configuration_radarscenes.yml: k=20
+kNN, conv dims [224,224,128,64,32], node/edge embedding MLPs) on synthetic
+frames shaped like cropped RadarScenes clouds.
+
+TPU-idiomatic measurement: the step loop runs ON DEVICE via `lax.scan` over a
+stack of pre-staged batches (one dispatch per measurement window), and the
+timer syncs by `jax.device_get` of the final losses — robust against host
+dispatch latency (the dev tunnel adds ~10-100 ms per dispatch, which would
+otherwise dominate).
 
 Baseline: the reference trains this stack via PyG/torch-scatter on GPU; the
 north-star target (BASELINE.md) is ≥5× an A100 PyG baseline per chip. No
@@ -21,22 +26,28 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 A100_PYG_EDGES_PER_S = 7e6  # derived estimate, see module docstring
 
+NUM_POINTS = int(os.environ.get("BENCH_POINTS", 2816))
+GRAPHS = int(os.environ.get("BENCH_GRAPHS", 8))
+SCAN_STEPS = int(os.environ.get("BENCH_STEPS", 32))
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+
 
 def main():
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
-    from radargnn_tpu.data.synthetic import make_samples, DEFAULT_GRAPH_CONFIG
+    from radargnn_tpu.data.synthetic import make_samples
     from radargnn_tpu.graph.batch import stack_samples
     from radargnn_tpu.models.detnet import create_detnet_state
     from radargnn_tpu.train.trainer import Trainer
 
-    # Flagship architecture (configuration_radarscenes.yml TRAIN section).
     arch = GNNArchitectureConfig(
         node_feature_dimension=5, edge_feature_dimension=2,
         conv_layer_dimensions=[224, 224, 128, 64, 32],
@@ -46,37 +57,49 @@ def main():
         initial_edge_feature_embedding=True,
         node_feature_embedding_layer_dimensions=[32, 64, 128, 224],
         edge_feature_embedding_layer_dimensions=[4, 8, 16],
-        conv_layer_type="MPNNConv", batch_norm_in_mlps=False)
+        conv_layer_type="MPNNConv", batch_norm_in_mlps=False,
+        compute_dtype=DTYPE)
 
     tcfg = TrainingConfig(
-        dataset="radarscenes", learning_rate=1e-3, epochs=1, batch_size=8,
-        shuffle=False, bg_index=5, bb_loss_weight=0.5,
+        dataset="radarscenes", learning_rate=1e-3, epochs=1,
+        batch_size=GRAPHS, shuffle=False, bg_index=5, bb_loss_weight=0.5,
         regularization_strength=5e-6, adapt_orientation_angle=True)
 
-    # Synthetic frames at RadarScenes scale: ~2.5-3k points, k=20 → 50-60k edges.
-    k = DEFAULT_GRAPH_CONFIG.k
-    num_points = 2816
-    g = 8
-    samples = make_samples(num_frames=g, num_points=num_points, seed=0)
-    batch = stack_samples(samples, max_nodes=num_points, bg_index=5,
-                          max_edges=num_points * k)
+    k = 20
+    samples = make_samples(num_frames=GRAPHS, num_points=NUM_POINTS, seed=0)
+    batch = stack_samples(samples, max_nodes=NUM_POINTS, bg_index=5,
+                          max_edges=NUM_POINTS * k)
 
     model, variables = create_detnet_state(arch, jax.random.key(0), batch)
     trainer = Trainer(tcfg, model, variables)
 
-    # warmup / compile
-    state, _ = trainer._train_step(trainer.state, batch)
-    jax.block_until_ready(state.params)
+    # vary the node features per scan step so no layer of the stack can be
+    # deduplicated/cached anywhere
+    noise = jnp.asarray(
+        np.random.default_rng(1).normal(
+            size=(SCAN_STEPS, 1, 1, batch.node_feat.shape[-1]))
+        .astype(np.float32) * 0.01)
 
-    steps = 20
+    @jax.jit
+    def run_epoch(state, batch, noise):
+        def body(state, eps):
+            b = batch.replace(node_feat=batch.node_feat + eps)
+            new_state, losses = trainer.train_step_fn(state, b)
+            return new_state, losses[0]
+
+        return jax.lax.scan(body, state, noise)
+
+    state, losses = run_epoch(trainer.state, batch, noise)
+    jax.device_get(losses)                      # warmup + compile sync
+
     t0 = time.perf_counter()
-    for _ in range(steps):
-        state, losses = trainer._train_step(state, batch)
-    jax.block_until_ready(state.params)
+    state, losses = run_epoch(state, batch, noise)
+    losses = jax.device_get(losses)             # hard sync on real data
     dt = time.perf_counter() - t0
 
-    valid_edges = int(np.asarray(jax.device_get(batch.num_valid_edges())))
-    edges_per_s = valid_edges * steps / dt
+    assert np.isfinite(losses).all()
+    valid_edges = GRAPHS * NUM_POINTS * k
+    edges_per_s = valid_edges * SCAN_STEPS / dt
 
     print(json.dumps({
         "metric": "train_edges_per_s",

@@ -138,7 +138,6 @@ class Trainer:
             batch.node_mask.reshape(-1))
 
     def _build_train_step(self):
-        @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: GraphBatch):
             def loss_fn(params):
                 (logits, bb), updates = self._forward(
@@ -158,7 +157,8 @@ class Trainer:
                                    opt_state=opt_state, step=state.step + 1)
             return new_state, (total, l_cls, l_bb)
 
-        return train_step
+        self.train_step_fn = train_step        # unjitted body (scan/compose)
+        return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_eval_step(self):
         @jax.jit
