@@ -1,0 +1,248 @@
+"""Pallas TPU kernels for the message-passing hot path.
+
+Two kernels (each with a pure-jnp reference used for allclose testing and as
+the fallback everywhere Pallas is unavailable):
+
+  * `fused_linear` — tiled matmul + bias (+ReLU) on the MXU. The edge
+    pre-MLP is the FLOP-dominant op of the model (SURVEY.md §3.3); this is
+    its standalone kernel.
+
+  * `fused_message_segment_max` — the SpMM/SDDMM-style fusion the north star
+    calls for: edge messages `m = m_in @ W + b` are computed tile-by-tile in
+    VMEM and max-reduced into per-node accumulators WITHOUT materializing
+    `m [E, H]` in HBM. Requires edges pre-sorted by receiver and tiled so
+    that each edge tile's receivers stay inside one node block
+    (`prepare_csr_tiles` does the host-side alignment); partial maxima
+    accumulate in the revisited output block across the sequential TPU grid.
+
+Both kernels run in interpret mode on CPU (the test path) and compiled on
+TPU. Gathers stay in XLA — TPU gathers are fast and fusing them buys nothing
+once `m` no longer round-trips through HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -3.0e38                       # finite -inf stand-in (python float)
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# fused linear
+# ---------------------------------------------------------------------------
+
+def _linear_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
+    y = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    y = y + b_ref[0, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    o_ref[:] = y
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "tile", "interpret"))
+def fused_linear(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+                 relu: bool = False, tile: int = 512,
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
+    """y = x @ w + b (+ReLU), tiled over rows; [E, Din] @ [Din, H]."""
+    if interpret is None:
+        interpret = _interpret_default()
+    e, din = x.shape
+    h = w.shape[1]
+    pad = (-e) % tile
+    xp = jnp.pad(x, ((0, pad), (0, 0)))
+    grid = (xp.shape[0] // tile,)
+    out = pl.pallas_call(
+        functools.partial(_linear_kernel, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((xp.shape[0], h), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, din), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, h), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, w, b.reshape(1, h))
+    return out[:e]
+
+
+def fused_linear_reference(x, w, b, relu=False):
+    y = x @ w + b
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+# ---------------------------------------------------------------------------
+# fused message matmul + segment max
+# ---------------------------------------------------------------------------
+
+def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
+                      num_nodes: int, node_block: int, edge_tile: int,
+                      total_tiles: Optional[int] = None
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side tiling: sorts edges by receiver and pads each node block's
+    edge run to a multiple of `edge_tile`.
+
+    Returns (perm, tile_node_block, padded_receivers):
+      perm [E_pad]           — gather indices into the original edge arrays
+                               (index E = dummy/masked edge),
+      tile_node_block [T]    — node-block id per edge tile,
+      padded_mask [E_pad]    — validity of each padded slot.
+    The caller gathers m_in/receivers with `perm` (dummy slots map to edge 0
+    with mask False).
+    """
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask)
+    e = receivers.shape[0]
+    # masked edges sort to the end of their (irrelevant) block: give them
+    # receiver num_nodes (a virtual overflow block)
+    key = np.where(edge_mask, receivers, num_nodes)
+    order = np.argsort(key, kind="stable")
+    sorted_recv = key[order]
+
+    num_blocks = -(-num_nodes // node_block)
+    perm_chunks = []
+    mask_chunks = []
+    tile_blocks = []
+    for blk in range(num_blocks):
+        lo = np.searchsorted(sorted_recv, blk * node_block, side="left")
+        hi = np.searchsorted(sorted_recv, min((blk + 1) * node_block,
+                                              num_nodes), side="left")
+        run = order[lo:hi]
+        pad = (-len(run)) % edge_tile
+        if len(run) == 0:
+            pad = edge_tile          # dummy tile so the block gets initialized
+        perm_chunks.append(np.concatenate([run, np.zeros(pad, np.int64)]))
+        mask_chunks.append(np.concatenate(
+            [np.ones(len(run), bool), np.zeros(pad, bool)]))
+        tile_blocks.extend([blk] * ((len(run) + pad) // edge_tile))
+
+    if not perm_chunks:
+        perm_chunks = [np.zeros(edge_tile, np.int64)]
+        mask_chunks = [np.zeros(edge_tile, bool)]
+        tile_blocks = [0]
+
+    perm = np.concatenate(perm_chunks)
+    mask = np.concatenate(mask_chunks)
+
+    if total_tiles is not None:
+        # pad to a static tile budget with no-op tiles of the last block so
+        # the kernel shape never depends on the in-degree distribution
+        cur = len(tile_blocks)
+        if cur > total_tiles:
+            raise ValueError(f"need {cur} tiles, budget {total_tiles}")
+        extra = total_tiles - cur
+        if extra:
+            perm = np.concatenate([perm, np.zeros(extra * edge_tile, np.int64)])
+            mask = np.concatenate([mask, np.zeros(extra * edge_tile, bool)])
+            tile_blocks = list(tile_blocks) + [tile_blocks[-1]] * extra
+
+    return (perm.astype(np.int32), np.asarray(tile_blocks, np.int32),
+            mask)
+
+
+def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
+                       mask_ref, o_ref, *, node_block: int, edge_tile: int):
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+    is_first_tile_of_block = jnp.logical_or(
+        t == 0, tile_blocks_ref[jnp.maximum(t - 1, 0)] != blk)
+
+    @pl.when(is_first_tile_of_block)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, _NEG)
+
+    m = jnp.dot(m_in_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    m = m + b_ref[0, :]
+    mask = mask_ref[:]
+    m = jnp.where(mask[:, None], m, _NEG)
+
+    local = recv_ref[:] - blk * node_block            # [TE] in [0, TN)
+    h = m.shape[-1]
+    chunk = min(16, edge_tile)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, chunk), 0)
+
+    def body(c, acc):
+        mc = jax.lax.dynamic_slice(m, (c * chunk, 0), (chunk, h))
+        lc = jax.lax.dynamic_slice(local, (c * chunk,), (chunk,))
+        onehot = rows == lc[None, :]                  # [TN, chunk]
+        big = jnp.where(onehot[:, :, None], mc[None, :, :], _NEG)
+        return jnp.maximum(acc, jnp.max(big, axis=1))
+
+    acc = jax.lax.fori_loop(0, edge_tile // chunk, body,
+                            jnp.full((node_block, h), _NEG))
+    o_ref[:] = jnp.maximum(o_ref[:], acc)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "node_block", "edge_tile",
+                                    "interpret"))
+def fused_message_segment_max(m_in: jnp.ndarray, w: jnp.ndarray,
+                              b: jnp.ndarray, receivers: jnp.ndarray,
+                              mask: jnp.ndarray, tile_blocks: jnp.ndarray,
+                              num_nodes: int, node_block: int = 128,
+                              edge_tile: int = 128,
+                              interpret: Optional[bool] = None) -> jnp.ndarray:
+    """out[n] = max over edges e with receiver n of (m_in[e] @ w + b).
+
+    Inputs must be pre-permuted with `prepare_csr_tiles` (receivers sorted,
+    node-block aligned). Empty segments yield 0 (framework semantics).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    e_pad, din = m_in.shape
+    h = w.shape[1]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, din), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((din, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile,), lambda i, tb: (i,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile,), lambda i, tb: (i,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_msg_segmax_kernel, node_block=node_block,
+                          edge_tile=edge_tile),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, m_in, w, b.reshape(1, h), receivers.astype(jnp.int32), mask)
+
+    out = out[:num_nodes]
+    return jnp.where(out <= _NEG / 2, 0.0, out)
+
+
+def fused_message_segment_max_reference(m_in, w, b, receivers, mask,
+                                        num_nodes):
+    """jnp reference with identical semantics (unsorted inputs fine)."""
+    from radargnn_tpu.ops.segment import segment_max
+
+    m = m_in @ w + b
+    return segment_max(m, receivers, num_nodes, mask)
