@@ -55,6 +55,25 @@ class PredictionVisualizer:
         return fig, ax
 
 
+def plot_graph(pos: np.ndarray, senders: np.ndarray, receivers: np.ndarray,
+               vel: np.ndarray = None, node_size: float = 8,
+               vec_scale: float = 10):
+    """Plots a geometric graph at its spatial coordinates (edges as segments,
+    optional velocity quiver). Parity: `GeometricGraph.show`
+    (`graph_constructor/graph.py:277-302` in /root/reference)."""
+    fig, ax = plt.subplots()
+    segs = np.stack([pos[senders], pos[receivers]], axis=1)
+    from matplotlib.collections import LineCollection
+    ax.add_collection(LineCollection(segs, colors="gray", linewidths=0.4))
+    ax.scatter(pos[:, 0], pos[:, 1], s=node_size, c=Colors.blue, zorder=2)
+    if vel is not None:
+        ax.quiver(pos[:, 0], pos[:, 1], vel[:, 0], vel[:, 1],
+                  scale=vec_scale, color="red")
+    ax.axis("equal")
+    ax.tick_params(left=True, bottom=True, labelleft=True, labelbottom=True)
+    return fig, ax
+
+
 def plot_confusion_matrix(cm: np.ndarray, class_names, normalize: bool = False):
     """Confusion-matrix heatmap. Parity: `visualization.py` confusion plot."""
     if normalize:

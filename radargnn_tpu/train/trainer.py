@@ -250,13 +250,24 @@ class Trainer:
             print(f">>> Overall training duration: {round(hours, 2)} hours")
 
     def _train_epoch(self, loader, verbose=False):
+        from radargnn_tpu.utils.profiling import StepStats
+
+        stats = StepStats()
         sums = np.zeros(3)
         n = 0
         for batch in loader:
+            t0 = time.time()
             batch = shard_batch(batch, self.mesh)
+            num_edges = int(np.asarray(batch.edge_mask).sum())
             self.state, losses = self._train_step(self.state, batch)
-            sums += np.asarray(jax.device_get(losses))
+            sums += np.asarray(jax.device_get(losses))   # sync point
+            stats.record(time.time() - t0, num_edges)
             n += 1
+        self.last_epoch_stats = stats
+        if verbose:
+            s = stats.summary()
+            print(f">>> epoch throughput: {s['edges_per_s']:.0f} edges/s, "
+                  f"{s['mean_step_ms']:.1f} ms/step over {n} batches")
         return tuple(sums / max(n, 1))
 
     def _eval_epoch(self, loader):
