@@ -58,7 +58,7 @@ def main():
         node_feature_embedding_layer_dimensions=[32, 64, 128, 224],
         edge_feature_embedding_layer_dimensions=[4, 8, 16],
         conv_layer_type="MPNNConv", batch_norm_in_mlps=False,
-        compute_dtype=DTYPE)
+        compute_dtype=DTYPE, assume_sorted_edges=True)
 
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=1e-3, epochs=1,

@@ -41,7 +41,8 @@ def run_mesh(n_devices: int, graphs_per_device: int, points: int, steps: int,
         initial_edge_feature_embedding=True,
         node_feature_embedding_layer_dimensions=[32, 64, 128, 224],
         edge_feature_embedding_layer_dimensions=[4, 8, 16],
-        batch_norm_in_mlps=False, compute_dtype=dtype)
+        batch_norm_in_mlps=False, compute_dtype=dtype,
+        assume_sorted_edges=True)
     tcfg = TrainingConfig(dataset="radarscenes", learning_rate=1e-3, epochs=1,
                           batch_size=g, shuffle=False, bg_index=5,
                           adapt_orientation_angle=True)

@@ -215,6 +215,10 @@ class GNNArchitectureConfig:
     # Parameters and reductions stay float32; bfloat16 feeds the MXU at its
     # full rate and halves gather bandwidth on the edge hot path.
     compute_dtype: str = "float32"
+    # Edges are receiver-sorted within each graph (the GraphDataLoader /
+    # stack_samples default layout) — enables the sorted-scatter fast path.
+    # Must be False for hand-built unsorted edge lists.
+    assume_sorted_edges: bool = False
 
 
 @dataclass

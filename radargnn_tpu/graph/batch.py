@@ -118,16 +118,27 @@ class GraphSample:
 
 
 def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
-               bg_index: int) -> dict:
+               bg_index: int, sort_edges_by_receiver: bool = True) -> dict:
     """Pads a GraphSample to (max_nodes, max_edges); returns plain numpy dict.
 
     Padded nodes get label `bg_index` and NaN boxes; padded edges point at
-    node 0 and are masked out.
+    node max_nodes-1 and are masked out. With `sort_edges_by_receiver`
+    (default) edges are stably re-ordered by receiver so segment reductions
+    can take the `indices_are_sorted` fast path (message passing is
+    permutation invariant, so results are unchanged).
     """
     n, e = sample.num_nodes, sample.num_edges
     if n > max_nodes or e > max_edges:
         raise ValueError(f"sample ({n} nodes, {e} edges) exceeds bucket "
                          f"({max_nodes}, {max_edges})")
+
+    s_senders, s_receivers, s_edge_feat = (
+        sample.senders, sample.receivers, sample.edge_feat)
+    if sort_edges_by_receiver and e:
+        order = np.argsort(s_receivers, kind="stable")
+        s_senders = s_senders[order]
+        s_receivers = s_receivers[order]
+        s_edge_feat = s_edge_feat[order]
 
     def pad_nodes(a, fill=0.0):
         out = np.full((max_nodes,) + a.shape[1:], fill, dtype=np.float32)
@@ -141,9 +152,9 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     labels[:n] = sample.labels
 
     senders = np.zeros((max_edges,), dtype=np.int32)
-    receivers = np.zeros((max_edges,), dtype=np.int32)
-    senders[:e] = sample.senders
-    receivers[:e] = sample.receivers
+    receivers = np.full((max_edges,), max_nodes - 1, dtype=np.int32)
+    senders[:e] = s_senders
+    receivers[:e] = s_receivers
 
     node_mask = np.zeros((max_nodes,), dtype=bool)
     node_mask[:n] = True
@@ -153,7 +164,7 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     return dict(
         node_feat=pad_nodes(sample.node_feat),
         edge_feat=np.concatenate([
-            sample.edge_feat.astype(np.float32),
+            s_edge_feat.astype(np.float32),
             np.zeros((max_edges - e, sample.edge_feat.shape[1]), np.float32)],
             axis=0),
         senders=senders, receivers=receivers,
@@ -164,10 +175,17 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
 
 
 def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
-                  max_edges: Optional[int] = None) -> GraphBatch:
-    """Pads and stacks host samples into a device GraphBatch."""
+                  max_edges: Optional[int] = None,
+                  sort_edges_by_receiver: bool = True) -> GraphBatch:
+    """Pads and stacks host samples into a device GraphBatch.
+
+    With the default receiver-sorted edge layout, flat receiver indices are
+    globally non-decreasing (per-graph sorted + increasing graph offsets), so
+    models configured with `assume_sorted_edges` hit the sorted-scatter fast
+    path."""
     if max_edges is None:
         max_edges = max(s.num_edges for s in samples)
-    padded = [pad_sample(s, max_nodes, max_edges, bg_index) for s in samples]
+    padded = [pad_sample(s, max_nodes, max_edges, bg_index,
+                         sort_edges_by_receiver) for s in samples]
     arrays = {k: np.stack([p[k] for p in padded]) for k in padded[0]}
     return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()})

@@ -39,6 +39,7 @@ class DetNet(nn.Module):
                  train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         dtype = getattr(cfg, "compute_dtype", "float32")
+        sorted_edges = getattr(cfg, "assume_sorted_edges", False)
         x = node_feat
         e = edge_feat
 
@@ -59,14 +60,14 @@ class DetNet(nn.Module):
                              pre_layers=cfg.conv_pre_mlp_layer_number,
                              post_layers=cfg.conv_post_mlp_layer_number,
                              use_edge_encoder=cfg.conv_use_edge_encoder,
-                             dtype=dtype,
+                             dtype=dtype, sorted_edges=sorted_edges,
                              name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
             elif cfg.conv_layer_type == "RadarPointGNNConv":
                 x = RadarPointGNNConv(
                     aggr=cfg.aggregation_function,
                     pre_layers=cfg.conv_pre_mlp_layer_number,
                     post_layers=cfg.conv_post_mlp_layer_number,
-                    dtype=dtype,
+                    dtype=dtype, sorted_edges=sorted_edges,
                     name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
             else:
                 raise ValueError(

@@ -19,10 +19,24 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from radargnn_tpu.models.mlp import LinearReluStack, TorchLinear
+from radargnn_tpu.models.split_mlp import SplitPreMLP
 from radargnn_tpu.ops.segment import segment_reduce
 
 
-class MPNNConv(nn.Module):
+class _AggregationMixin:
+    """Shared masked aggregation with the sorted-scatter and bfloat16
+    fast paths (max aggregation is exact in bfloat16; sum/mean stay f32)."""
+
+    def _aggregate(self, m, receivers, num_nodes, edge_mask):
+        data = m
+        if self.dtype != "float32" and self.aggr == "max":
+            data = m.astype(jnp.dtype(self.dtype))
+        out = segment_reduce(self.aggr, data, receivers, num_nodes, edge_mask,
+                             indices_are_sorted=self.sorted_edges)
+        return out.astype(jnp.float32)
+
+
+class MPNNConv(_AggregationMixin, nn.Module):
     """General MPNN layer with edge features.
 
     message  m_sr = pre_mlp([x_r ‖ x_s ‖ e_sr])   (edge encoder optional)
@@ -36,6 +50,7 @@ class MPNNConv(nn.Module):
     post_layers: int = 1
     use_edge_encoder: bool = False
     dtype: str = "float32"
+    sorted_edges: bool = False      # receivers non-decreasing (loader layout)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
@@ -51,15 +66,13 @@ class MPNNConv(nn.Module):
         else:
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
 
-        # cast BEFORE the gather: halves the dominant HBM traffic in bf16
-        xc = x.astype(self.dtype) if self.dtype != "float32" else x
-        ec = edge_attr.astype(self.dtype) if self.dtype != "float32" \
-            else edge_attr
-        m_in = jnp.concatenate([xc[receivers], xc[senders], ec], axis=-1)
-        m = LinearReluStack([pre_mlp_dim] * self.pre_layers,
-                            dtype=self.dtype, name="pre_mlp")(m_in)
+        # first pre-MLP layer as split node projections (k× fewer MACs);
+        # parameter layout identical to the naive concat formulation
+        m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, in_channels,
+                        include_receiver=True, dtype=self.dtype,
+                        name="pre_mlp")(x, senders, receivers, edge_attr)
 
-        aggr = segment_reduce(self.aggr, m, receivers, num_nodes, edge_mask)
+        aggr = self._aggregate(m, receivers, num_nodes, edge_mask)
 
         out = jnp.concatenate([x, aggr], axis=-1)
         post_sizes = [self.out_channels] * self.post_layers
@@ -67,7 +80,7 @@ class MPNNConv(nn.Module):
                                name="post_mlp")(out)
 
 
-class RadarPointGNNConv(nn.Module):
+class RadarPointGNNConv(_AggregationMixin, nn.Module):
     """Residual Radar-PointGNN variant: message pre_mlp([x_s ‖ e]); update
     post_mlp([x ‖ m]) + x. Output dim forced equal to input dim."""
 
@@ -75,6 +88,7 @@ class RadarPointGNNConv(nn.Module):
     pre_layers: int = 1
     post_layers: int = 1
     dtype: str = "float32"
+    sorted_edges: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
@@ -84,14 +98,11 @@ class RadarPointGNNConv(nn.Module):
         node_dim = x.shape[-1]
         pre_mlp_dim = node_dim + edge_attr.shape[-1]
 
-        xc = x.astype(self.dtype) if self.dtype != "float32" else x
-        ec = edge_attr.astype(self.dtype) if self.dtype != "float32" \
-            else edge_attr
-        m_in = jnp.concatenate([xc[senders], ec], axis=-1)
-        m = LinearReluStack([pre_mlp_dim] * self.pre_layers,
-                            dtype=self.dtype, name="pre_mlp")(m_in)
+        m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, node_dim,
+                        include_receiver=False, dtype=self.dtype,
+                        name="pre_mlp")(x, senders, receivers, edge_attr)
 
-        aggr = segment_reduce(self.aggr, m, receivers, num_nodes, edge_mask)
+        aggr = self._aggregate(m, receivers, num_nodes, edge_mask)
 
         out = jnp.concatenate([x, aggr], axis=-1)
         post_sizes = [node_dim] * self.post_layers

@@ -39,35 +39,45 @@ def _apply_mask(data: jnp.ndarray, mask: Optional[jnp.ndarray], fill) -> jnp.nda
 
 
 def segment_sum(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
-                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                mask: Optional[jnp.ndarray] = None,
+                indices_are_sorted: bool = False) -> jnp.ndarray:
     data = _apply_mask(data, mask, 0)
-    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 def segment_count(segment_ids: jnp.ndarray, num_segments: int,
-                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                  mask: Optional[jnp.ndarray] = None,
+                  indices_are_sorted: bool = False) -> jnp.ndarray:
     """Number of (valid) edges per segment; int32 [num_segments]."""
     ones = jnp.ones(segment_ids.shape, dtype=jnp.int32)
     if mask is not None:
         ones = jnp.where(mask, ones, 0)
-    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
 
 
 def segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
-                mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                mask: Optional[jnp.ndarray] = None,
+                indices_are_sorted: bool = False) -> jnp.ndarray:
     """Per-segment max; empty segments → 0 (torch-scatter parity)."""
     filled = _apply_mask(data, mask, _NEG)
-    out = jax.ops.segment_max(filled, segment_ids, num_segments=num_segments)
-    has = segment_count(segment_ids, num_segments, mask) > 0
+    out = jax.ops.segment_max(filled, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    has = segment_count(segment_ids, num_segments, mask,
+                        indices_are_sorted) > 0
     shape = has.shape + (1,) * (out.ndim - has.ndim)
     return jnp.where(has.reshape(shape), out, 0).astype(data.dtype)
 
 
 def segment_mean(data: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int,
-                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 mask: Optional[jnp.ndarray] = None,
+                 indices_are_sorted: bool = False) -> jnp.ndarray:
     """Per-segment mean over valid edges; empty segments → 0."""
-    total = segment_sum(data, segment_ids, num_segments, mask)
-    count = segment_count(segment_ids, num_segments, mask)
+    total = segment_sum(data, segment_ids, num_segments, mask,
+                        indices_are_sorted)
+    count = segment_count(segment_ids, num_segments, mask,
+                          indices_are_sorted)
     shape = count.shape + (1,) * (total.ndim - count.ndim)
     count = count.reshape(shape)
     return jnp.where(count > 0, total / jnp.maximum(count, 1).astype(total.dtype), 0)
@@ -82,11 +92,12 @@ _REDUCERS = {
 
 
 def segment_reduce(reducer: str, data: jnp.ndarray, segment_ids: jnp.ndarray,
-                   num_segments: int, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   num_segments: int, mask: Optional[jnp.ndarray] = None,
+                   indices_are_sorted: bool = False) -> jnp.ndarray:
     """Dispatch by reducer name ('max' | 'sum'/'add' | 'mean')."""
     try:
         fn = _REDUCERS[reducer]
     except KeyError:
         raise ValueError(f"Unknown aggregation '{reducer}'; "
                          f"expected one of {sorted(_REDUCERS)}") from None
-    return fn(data, segment_ids, num_segments, mask)
+    return fn(data, segment_ids, num_segments, mask, indices_are_sorted)
