@@ -19,8 +19,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from radargnn_tpu.models.mlp import LinearReluStack, TorchLinear
-from radargnn_tpu.models.split_mlp import SplitPreMLP
-from radargnn_tpu.ops.segment import segment_reduce
+from radargnn_tpu.models.split_mlp import PreMLPParams, SplitPreMLP
+from radargnn_tpu.ops.segment import hoisted_segment_max, segment_reduce
 
 
 class _AggregationMixin:
@@ -66,13 +66,35 @@ class MPNNConv(_AggregationMixin, nn.Module):
         else:
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
 
-        # first pre-MLP layer as split node projections (k× fewer MACs);
-        # parameter layout identical to the naive concat formulation
-        m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, in_channels,
-                        include_receiver=True, dtype=self.dtype,
-                        name="pre_mlp")(x, senders, receivers, edge_attr)
+        if self.pre_layers == 1 and self.aggr == "max":
+            # Hoisted fast path: with a single linear pre-MLP, the receiver
+            # projection and bias are constant per receiver, so they commute
+            # with the max — aggr_r = (x@W_r)[r] + b + max_e((x@W_s)[s]+e@W_e)
+            # for non-empty neighborhoods (0 for empty). This removes the
+            # receiver-side [E, H] gather from the hot path entirely.
+            kernel, bias = PreMLPParams(pre_mlp_dim, pre_mlp_dim,
+                                        name="pre_mlp")()
+            d = in_channels
+            w_r, w_s, w_e = kernel[:d], kernel[d:2 * d], kernel[2 * d:]
+            cd = jnp.dtype(self.dtype) if self.dtype != "float32" \
+                else jnp.float32
 
-        aggr = self._aggregate(m, receivers, num_nodes, edge_mask)
+            def mm(a, w):
+                return jnp.dot(a.astype(cd), w.astype(cd),
+                               preferred_element_type=jnp.float32)
+
+            y_r = mm(x, w_r)
+            y_s = mm(x, w_s).astype(cd)
+            y_e = mm(edge_attr, w_e).astype(cd)
+            inner_operand = y_s[senders] + y_e
+            aggr = hoisted_segment_max(
+                inner_operand, receivers, num_nodes, edge_mask,
+                self.sorted_edges, y_r + bias)
+        else:
+            m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, in_channels,
+                            include_receiver=True, dtype=self.dtype,
+                            name="pre_mlp")(x, senders, receivers, edge_attr)
+            aggr = self._aggregate(m, receivers, num_nodes, edge_mask)
 
         out = jnp.concatenate([x, aggr], axis=-1)
         post_sizes = [self.out_channels] * self.post_layers

@@ -42,6 +42,18 @@ class _LinearParams(nn.Module):
         return kernel, bias
 
 
+class PreMLPParams(nn.Module):
+    """Declares the pre-MLP first-layer parameters under the canonical
+    `pre_mlp/lin_0` path (used by the hoisted max-aggregation fast path)."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _LinearParams(self.fan_in, self.features, name="lin_0")()
+
+
 class SplitPreMLP(nn.Module):
     """The conv pre-MLP with the first layer computed as split projections.
 

@@ -91,6 +91,22 @@ _REDUCERS = {
 }
 
 
+def hoisted_segment_max(data: jnp.ndarray, segment_ids: jnp.ndarray,
+                        num_segments: int, mask, indices_are_sorted: bool,
+                        per_segment_offset: jnp.ndarray) -> jnp.ndarray:
+    """max-aggregation with a per-segment additive term hoisted out of the
+    reduction: out[n] = offset[n] + max_e(data_e) for non-empty segments,
+    0 for empty ones (framework empty-segment semantics)."""
+    filled = _apply_mask(data, mask, _NEG)
+    inner = jax.ops.segment_max(filled, segment_ids,
+                                num_segments=num_segments,
+                                indices_are_sorted=indices_are_sorted)
+    has = segment_count(segment_ids, num_segments, mask,
+                        indices_are_sorted) > 0
+    return jnp.where(has[:, None],
+                     per_segment_offset + inner.astype(jnp.float32), 0.0)
+
+
 def segment_reduce(reducer: str, data: jnp.ndarray, segment_ids: jnp.ndarray,
                    num_segments: int, mask: Optional[jnp.ndarray] = None,
                    indices_are_sorted: bool = False) -> jnp.ndarray:
