@@ -42,6 +42,17 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    # persistent compilation cache: repeat bench runs skip the multi-minute
+    # remote compile
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.join(os.path.dirname(__file__) or ".",
+                                            ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
     from radargnn_tpu.data.synthetic import make_samples
     from radargnn_tpu.graph.batch import stack_samples

@@ -65,3 +65,22 @@ def shard_batch(batch, mesh: Optional[Mesh]):
         return batch
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Initializes jax.distributed for multi-host (DCN) execution.
+
+    On a multi-host TPU slice, call this before any jax op; afterwards
+    `jax.devices()` spans all hosts and `make_mesh` lays the `data` axis
+    across hosts (gradient all-reduce rides DCN between hosts, ICI within).
+    No-ops cleanly in single-process settings.
+    """
+    import jax as _jax
+
+    if num_processes in (None, 1):
+        return
+    _jax.distributed.initialize(coordinator_address=coordinator_address,
+                                num_processes=num_processes,
+                                process_id=process_id)
