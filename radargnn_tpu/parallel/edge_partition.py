@@ -16,7 +16,7 @@ explicit `shard_map` keeps the partials chip-local until the single combine.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

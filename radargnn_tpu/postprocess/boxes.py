@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from radargnn_tpu.utils.geometry import get_box_corners
-
 
 def _wrap_0_360(x: np.ndarray) -> np.ndarray:
     return np.mod(x, 360.0)

@@ -17,7 +17,6 @@ import os
 from typing import Any, Dict
 
 import jax
-import numpy as np
 from flax import serialization
 
 

@@ -27,7 +27,6 @@ import json
 import os
 import time
 from dataclasses import asdict
-from functools import partial
 from typing import Dict, Optional
 
 import jax
