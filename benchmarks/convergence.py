@@ -1,0 +1,118 @@
+"""End-to-end convergence validation on synthetic RadarScenes-like data.
+
+Trains the DetNet (reduced conv stack for wall-clock) on synthetic frames
+with known objects, then runs the complete evaluation pipeline (predict →
+decode → NMS → point-IoU mAP + F1). Demonstrates that the whole stack —
+graph pipeline, masked losses, schedules, postprocessing, metrics — learns
+and evaluates correctly at realistic scale.
+
+Prints JSON lines: per-epoch losses, then final {"metric": "synthetic_map"}
+and {"metric": "synthetic_f1_macro"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    import numpy as np
+    import jax
+
+    from radargnn_tpu.configs import (
+        GNNArchitectureConfig, PostProcessingConfiguration, TrainingConfig,
+    )
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.data.synthetic import make_samples
+    from radargnn_tpu.graph.batch import stack_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.postprocess import (
+        ObjectDetectionMetrics, Postprocessor, PredictionExtractor, Predictor,
+        SegmentationMetrics,
+    )
+    from radargnn_tpu.train.trainer import Trainer, set_seeds
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=60)
+    parser.add_argument("--points", type=int, default=800)
+    parser.add_argument("--epochs", type=int, default=15)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--dtype", type=str, default="bfloat16")
+    args = parser.parse_args()
+
+    samples = make_samples(num_frames=args.frames, num_points=args.points,
+                           seed=0)
+    n_val = max(args.frames // 5, 2)
+    train_s, val_s = samples[:-n_val], samples[-n_val:]
+
+    arch = GNNArchitectureConfig(
+        node_feature_dimension=train_s[0].node_feat.shape[1],
+        edge_feature_dimension=2,
+        conv_layer_dimensions=[64, 64, 32],
+        classification_head_layer_dimensions=[6],
+        regression_head_layer_dimensions=[16, 5],
+        initial_node_feature_embedding=True,
+        initial_edge_feature_embedding=True,
+        node_feature_embedding_layer_dimensions=[32, 64],
+        edge_feature_embedding_layer_dimensions=[4, 8],
+        batch_norm_in_mlps=False, compute_dtype=args.dtype,
+        assume_sorted_edges=True)
+    tcfg = TrainingConfig(
+        dataset="radarscenes", learning_rate=2e-3, epochs=args.epochs,
+        batch_size=args.batch_size, shuffle=True, bg_index=5,
+        deterministic=True, seed=123, exponential_lr_decay_factor=0.95,
+        bb_loss_weight=0.5, regularization_strength=5e-6,
+        adapt_orientation_angle=True)
+
+    key = set_seeds(tcfg.seed)
+    loaders = {
+        "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1),
+        "validate": GraphDataLoader(val_s, args.batch_size, False, 5, seed=1),
+    }
+    # share buckets
+    n_bucket = max(loaders["train"].max_nodes, loaders["validate"].max_nodes)
+    e_bucket = max(loaders["train"].max_edges, loaders["validate"].max_edges)
+    for ld in loaders.values():
+        ld.max_nodes, ld.max_edges = n_bucket, e_bucket
+
+    example = stack_samples(train_s[:args.batch_size], n_bucket, 5, e_bucket)
+    model, variables = create_detnet_state(arch, key, example)
+    trainer = Trainer(tcfg, model, variables)
+    trainer.fit(loaders, verbose=False)
+    for ep, (lt, lv) in enumerate(zip(trainer.train_loss, trainer.valid_loss)):
+        print(json.dumps({"epoch": ep + 1, "loss_train": round(float(lt), 4),
+                          "loss_valid": round(float(lv), 4)}))
+
+    config = PostProcessingConfiguration(
+        split="validate", iou_for_nms=0.01,
+        min_object_score={"car": 0.4, "pedestrian": 0.4,
+                          "pedestrian_group": 0.4, "two_wheeler": 0.4,
+                          "large_vehicle": 0.4},
+        max_score_for_background=0.3, iou_for_mAP=0.3, use_point_iou=True,
+        bg_index=5, bb_invariance="translation",
+        adapt_orientation_angle=True)
+
+    predictor = Predictor(
+        model, {"params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats},
+        loaders["validate"], verbose=False)
+    predictions, ground_truth, pos, vel = predictor.predict()
+
+    pp = Postprocessor()
+    bb_pred, bb_gt, cls_pred, cls_gt = pp.process(
+        config, pos, vel, predictions, ground_truth)
+    cls_pred_label = PredictionExtractor().extract(predictions)
+
+    res = ObjectDetectionMetrics.get_map(config, bb_pred, bb_gt, cls_pred)
+    seg = SegmentationMetrics(cls_pred_label, cls_gt)
+    f1 = seg.get_f1(6, "macro")
+
+    print(json.dumps({"metric": "synthetic_map",
+                      "value": round(float(res["map"]), 4)}))
+    print(json.dumps({"metric": "synthetic_f1_macro",
+                      "value": round(float(f1), 4)}))
+
+
+if __name__ == "__main__":
+    main()

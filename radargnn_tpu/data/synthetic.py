@@ -55,15 +55,27 @@ def synthetic_frame(rng: np.random.Generator, num_points: int = 1000,
         center = np.array([rng.uniform(5, extent - 5),
                            rng.uniform(-extent / 2 + 5, extent / 2 - 5)])
         heading = rng.uniform(0, 2 * np.pi)
-        length, width = rng.uniform(1.5, 6.0), rng.uniform(0.8, 2.5)
+        # class determined by geometry/kinematics so segmentation is
+        # learnable: size and speed ranges per class (car, pedestrian,
+        # pedestrian_group, two_wheeler, large_vehicle)
+        cls = int(rng.integers(0, num_classes))
+        length, width, speed = {
+            0: (4.5, 1.8, 10.0),   # car: large, fast
+            1: (0.6, 0.6, 1.2),    # pedestrian: tiny, slow
+            2: (2.5, 2.5, 1.2),    # pedestrian group: wide, slow
+            3: (1.8, 0.7, 5.0),    # two-wheeler: narrow, medium
+            4: (8.0, 2.5, 8.0),    # large vehicle: very large
+        }[cls]
+        length *= rng.uniform(0.8, 1.2)
+        width *= rng.uniform(0.8, 1.2)
+        speed *= rng.uniform(0.7, 1.3)
         d = np.array([np.cos(heading), np.sin(heading)])
         o = np.array([-d[1], d[0]])
         local = (rng.uniform(-0.5, 0.5, (end - start, 1)) * length * d
                  + rng.uniform(-0.5, 0.5, (end - start, 1)) * width * o)
         pos[start:end] = center + local
-        speed = rng.uniform(0.5, 15.0)
         vel[start:end] = speed * d + rng.normal(0, 0.2, (end - start, 2))
-        labels[start:end] = rng.integers(0, num_classes)
+        labels[start:end] = cls
         track_ids[start:end] = str(obj).encode()
         start = end
 

@@ -175,15 +175,14 @@ def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
     chunk = min(16, edge_tile)
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, chunk), 0)
 
-    def body(c, acc):
-        mc = jax.lax.dynamic_slice(m, (c * chunk, 0), (chunk, h))
-        lc = jax.lax.dynamic_slice(local, (c * chunk,), (chunk,))
+    # static unrolled chunking (Mosaic has no dynamic_slice on values)
+    acc = jnp.full((node_block, h), _NEG)
+    for c in range(edge_tile // chunk):
+        mc = m[c * chunk:(c + 1) * chunk]
+        lc = local[c * chunk:(c + 1) * chunk]
         onehot = rows == lc[None, :]                  # [TN, chunk]
         big = jnp.where(onehot[:, :, None], mc[None, :, :], _NEG)
-        return jnp.maximum(acc, jnp.max(big, axis=1))
-
-    acc = jax.lax.fori_loop(0, edge_tile // chunk, body,
-                            jnp.full((node_block, h), _NEG))
+        acc = jnp.maximum(acc, jnp.max(big, axis=1))
     o_ref[:] = jnp.maximum(o_ref[:], acc)
 
 
