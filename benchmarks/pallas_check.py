@@ -1,3 +1,4 @@
+"""Validates the Pallas kernels compiled on the actual TPU (vs jnp refs)."""
 import numpy as np, jax, jax.numpy as jnp, time
 from radargnn_tpu.ops.pallas_kernels import (
     fused_linear, fused_linear_reference,
@@ -20,10 +21,10 @@ recv = rng.integers(0, N, E).astype(np.int32)
 mask = rng.random(E) < 0.9
 w2 = rng.normal(size=(Din, H)).astype(np.float32) * 0.1
 b2 = rng.normal(size=(H,)).astype(np.float32)
-perm, tb, pm = prepare_csr_tiles(recv, mask, N, node_block=128, edge_tile=128)
+perm, tb, padded_recv = prepare_csr_tiles(recv, mask, N, node_block=128, edge_tile=128)
 got = fused_message_segment_max(
     jnp.asarray(m_in[perm]), jnp.asarray(w2), jnp.asarray(b2),
-    jnp.asarray(recv[perm]), jnp.asarray(pm), jnp.asarray(tb),
+    jnp.asarray(padded_recv), jnp.asarray(tb),
     num_nodes=N, node_block=128, edge_tile=128, interpret=False)
 exp = fused_message_segment_max_reference(
     jnp.asarray(m_in), jnp.asarray(w2), jnp.asarray(b2),

@@ -98,11 +98,12 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
 
     Returns (perm, tile_node_block, padded_receivers):
       perm [E_pad]           — gather indices into the original edge arrays
-                               (index E = dummy/masked edge),
+                               (dummy slots map to edge 0),
       tile_node_block [T]    — node-block id per edge tile,
-      padded_mask [E_pad]    — validity of each padded slot.
-    The caller gathers m_in/receivers with `perm` (dummy slots map to edge 0
-    with mask False).
+      padded_receivers [E_pad] — global receiver id per slot, -1 for
+                               padding/masked slots (matches no node row, so
+                               no separate mask operand is needed).
+    The caller gathers m_in with `perm`.
     """
     receivers = np.asarray(receivers)
     edge_mask = np.asarray(edge_mask)
@@ -115,7 +116,7 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
 
     num_blocks = -(-num_nodes // node_block)
     perm_chunks = []
-    mask_chunks = []
+    recv_chunks = []
     tile_blocks = []
     for blk in range(num_blocks):
         lo = np.searchsorted(sorted_recv, blk * node_block, side="left")
@@ -126,17 +127,17 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
         if len(run) == 0:
             pad = edge_tile          # dummy tile so the block gets initialized
         perm_chunks.append(np.concatenate([run, np.zeros(pad, np.int64)]))
-        mask_chunks.append(np.concatenate(
-            [np.ones(len(run), bool), np.zeros(pad, bool)]))
+        recv_chunks.append(np.concatenate(
+            [receivers[run], np.full(pad, -1, np.int64)]))
         tile_blocks.extend([blk] * ((len(run) + pad) // edge_tile))
 
     if not perm_chunks:
         perm_chunks = [np.zeros(edge_tile, np.int64)]
-        mask_chunks = [np.zeros(edge_tile, bool)]
+        recv_chunks = [np.full(edge_tile, -1, np.int64)]
         tile_blocks = [0]
 
     perm = np.concatenate(perm_chunks)
-    mask = np.concatenate(mask_chunks)
+    padded_recv = np.concatenate(recv_chunks)
 
     if total_tiles is not None:
         # pad to a static tile budget with no-op tiles of the last block so
@@ -147,15 +148,16 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
         extra = total_tiles - cur
         if extra:
             perm = np.concatenate([perm, np.zeros(extra * edge_tile, np.int64)])
-            mask = np.concatenate([mask, np.zeros(extra * edge_tile, bool)])
+            padded_recv = np.concatenate(
+                [padded_recv, np.full(extra * edge_tile, -1, np.int64)])
             tile_blocks = list(tile_blocks) + [tile_blocks[-1]] * extra
 
     return (perm.astype(np.int32), np.asarray(tile_blocks, np.int32),
-            mask)
+            padded_recv.astype(np.int32))
 
 
 def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
-                       mask_ref, o_ref, *, node_block: int, edge_tile: int):
+                       o_ref, *, node_block: int, edge_tile: int):
     t = pl.program_id(0)
     blk = tile_blocks_ref[t]
     is_first_tile_of_block = jnp.logical_or(
@@ -167,10 +169,10 @@ def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
 
     m = jnp.dot(m_in_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     m = m + b_ref[0, :]
-    mask = mask_ref[:]
-    m = jnp.where(mask[:, None], m, _NEG)
 
-    local = recv_ref[:] - blk * node_block            # [TE] in [0, TN)
+    # invalid slots carry receiver -1 → local id out of [0, TN) → they match
+    # no output row; no separate mask operand needed
+    local = recv_ref[t, :] - blk * node_block         # [TE] in [0, TN)
     h = m.shape[-1]
     chunk = min(16, edge_tile)
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, chunk), 0)
@@ -180,8 +182,9 @@ def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
     for c in range(edge_tile // chunk):
         mc = m[c * chunk:(c + 1) * chunk]
         lc = local[c * chunk:(c + 1) * chunk]
-        onehot = rows == lc[None, :]                  # [TN, chunk]
-        big = jnp.where(onehot[:, :, None], mc[None, :, :], _NEG)
+        eq = (rows == lc[None, :]).astype(jnp.float32)    # [TN, chunk]
+        big = mc[None, :, :] * eq[:, :, None] \
+            + (eq[:, :, None] - 1.0) * (-_NEG)
         acc = jnp.maximum(acc, jnp.max(big, axis=1))
     o_ref[:] = jnp.maximum(o_ref[:], acc)
 
@@ -190,8 +193,8 @@ def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
                    static_argnames=("num_nodes", "node_block", "edge_tile",
                                     "interpret"))
 def fused_message_segment_max(m_in: jnp.ndarray, w: jnp.ndarray,
-                              b: jnp.ndarray, receivers: jnp.ndarray,
-                              mask: jnp.ndarray, tile_blocks: jnp.ndarray,
+                              b: jnp.ndarray, padded_receivers: jnp.ndarray,
+                              tile_blocks: jnp.ndarray,
                               num_nodes: int, node_block: int = 128,
                               edge_tile: int = 128,
                               interpret: Optional[bool] = None) -> jnp.ndarray:
@@ -217,9 +220,8 @@ def fused_message_segment_max(m_in: jnp.ndarray, w: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h), lambda i, tb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((edge_tile,), lambda i, tb: (i,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((edge_tile,), lambda i, tb: (i,),
+            # small receiver table stays fully resident in VMEM
+            pl.BlockSpec((t, edge_tile), lambda i, tb: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
@@ -232,7 +234,8 @@ def fused_message_segment_max(m_in: jnp.ndarray, w: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_blocks, m_in, w, b.reshape(1, h), receivers.astype(jnp.int32), mask)
+    )(tile_blocks, m_in, w, b.reshape(1, h),
+      padded_receivers.astype(jnp.int32).reshape(t, edge_tile))
 
     out = out[:num_nodes]
     return jnp.where(out <= _NEG / 2, 0.0, out)

@@ -31,14 +31,13 @@ def _run_fused_segmax(rng, e, n, din, h, mask_frac=0.85, node_block=32,
     w = rng.normal(size=(din, h)).astype(np.float32) * 0.1
     b = rng.normal(size=(h,)).astype(np.float32)
 
-    perm, tile_blocks, pmask = prepare_csr_tiles(
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(
         receivers, mask, n, node_block, edge_tile, total_tiles)
     m_in_p = m_in[perm]
-    recv_p = receivers[perm]
 
     got = fused_message_segment_max(
         jnp.asarray(m_in_p), jnp.asarray(w), jnp.asarray(b),
-        jnp.asarray(recv_p), jnp.asarray(pmask), jnp.asarray(tile_blocks),
+        jnp.asarray(padded_recv), jnp.asarray(tile_blocks),
         num_nodes=n, node_block=node_block, edge_tile=edge_tile)
     expect = fused_message_segment_max_reference(
         jnp.asarray(m_in), jnp.asarray(w), jnp.asarray(b),
@@ -62,10 +61,10 @@ def test_fused_message_segment_max_empty_blocks():
     w = rng.normal(size=(8, 16)).astype(np.float32)
     b = np.zeros(16, np.float32)
 
-    perm, tile_blocks, pmask = prepare_csr_tiles(receivers, mask, n, 32, 32)
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(receivers, mask, n, 32, 32)
     got = fused_message_segment_max(
         jnp.asarray(m_in[perm]), jnp.asarray(w), jnp.asarray(b),
-        jnp.asarray(receivers[perm]), jnp.asarray(pmask),
+        jnp.asarray(padded_recv),
         jnp.asarray(tile_blocks), num_nodes=n, node_block=32, edge_tile=32)
     assert np.allclose(np.asarray(got)[32:], 0.0)
     expect = fused_message_segment_max_reference(
@@ -95,10 +94,10 @@ def test_fused_segmax_all_negative_messages():
     mask = np.ones(e, bool)
     w = np.eye(4, dtype=np.float32)
     b = np.zeros(4, np.float32)
-    perm, tb, pm = prepare_csr_tiles(receivers, mask, n, 8, 8)
+    perm, tb, padded_recv = prepare_csr_tiles(receivers, mask, n, 8, 8)
     got = fused_message_segment_max(
         jnp.asarray(m_in[perm]), jnp.asarray(w), jnp.asarray(b),
-        jnp.asarray(receivers[perm]), jnp.asarray(pm), jnp.asarray(tb),
+        jnp.asarray(padded_recv), jnp.asarray(tb),
         num_nodes=n, node_block=8, edge_tile=8)
     np.testing.assert_allclose(np.asarray(got)[:4], -1.0)
     np.testing.assert_allclose(np.asarray(got)[4:], 0.0)
