@@ -10,7 +10,11 @@ Prints JSON lines: per-epoch losses, then final {"metric": "synthetic_map"}
 and {"metric": "synthetic_f1_macro"}.
 """
 
-from __future__ import annotations
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import argparse
 import json

@@ -1,4 +1,10 @@
 """Validates the Pallas kernels compiled on the actual TPU (vs jnp refs)."""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np, jax, jax.numpy as jnp, time
 from radargnn_tpu.ops.pallas_kernels import (
     fused_linear, fused_linear_reference,

@@ -10,7 +10,11 @@ Usage:
 Prints one JSON line per mesh size with edges/s and efficiency vs 1 device.
 """
 
-from __future__ import annotations
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 
 import argparse
 import json

@@ -260,10 +260,12 @@ class TrainingConfig:
     checkpoint_every_epochs: int = 0
     # Mesh shape for pjit: {"data": -1} style dict; empty → single device.
     mesh_axes: dict = field(default_factory=dict)
-    # Compute dtype for conv stacks ("float32" | "bfloat16").
+    # Train steps fused into one device dispatch via lax.scan (amortizes
+    # host→device dispatch latency; 1 = one dispatch per batch).
+    scan_steps_per_dispatch: int = 1
+    # Compute dtype for conv stacks ("float32" | "bfloat16") — forwarded to
+    # the model when set on the architecture config.
     compute_dtype: str = "float32"
-    # Use Pallas fused kernels for message passing where available.
-    use_pallas: bool = False
 
     def __post_init__(self):
         if self.dataset == "radarscenes":

@@ -113,6 +113,7 @@ class Trainer:
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        self._train_scan = self._build_train_scan()
 
     # ------------------------------------------------------------------
     # jitted steps
@@ -158,6 +159,18 @@ class Trainer:
 
         self.train_step_fn = train_step        # unjitted body (scan/compose)
         return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_train_scan(self):
+        @jax.jit
+        def train_scan(state: TrainState, batches: GraphBatch):
+            """K train steps in one dispatch; batches have leading scan axis."""
+            def body(state, batch):
+                new_state, losses = self.train_step_fn(state, batch)
+                return new_state, jnp.stack(losses)
+
+            return jax.lax.scan(body, state, batches)
+
+        return train_scan
 
     def _build_eval_step(self):
         @jax.jit
@@ -254,19 +267,39 @@ class Trainer:
         stats = StepStats()
         sums = np.zeros(3)
         n = 0
-        for batch in loader:
+        k = max(int(getattr(self.config, "scan_steps_per_dispatch", 1)), 1)
+        pending = []
+
+        def flush():
+            nonlocal n
+            if not pending:
+                return
             t0 = time.time()
-            batch = shard_batch(batch, self.mesh)
-            num_edges = int(np.asarray(batch.edge_mask).sum())
-            self.state, losses = self._train_step(self.state, batch)
-            sums += np.asarray(jax.device_get(losses))   # sync point
+            num_edges = sum(int(np.asarray(b.edge_mask).sum())
+                            for b in pending)
+            if len(pending) == 1:
+                self.state, losses = self._train_step(self.state, pending[0])
+                sums[:] += np.asarray(jax.device_get(losses))
+            else:
+                stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *pending)
+                self.state, losses = self._train_scan(self.state, stacked)
+                sums[:] += np.asarray(jax.device_get(losses)).sum(axis=0)
             stats.record(time.time() - t0, num_edges)
-            n += 1
+            n += len(pending)
+            pending.clear()
+
+        for batch in loader:
+            pending.append(shard_batch(batch, self.mesh))
+            if len(pending) == k:
+                flush()
+        flush()
+
         self.last_epoch_stats = stats
         if verbose:
             s = stats.summary()
-            print(f">>> epoch throughput: {s['edges_per_s']:.0f} edges/s, "
-                  f"{s['mean_step_ms']:.1f} ms/step over {n} batches")
+            print(f">>> epoch throughput: {s['edges_per_s']:.0f} edges/s "
+                  f"over {n} batches")
         return tuple(sums / max(n, 1))
 
     def _eval_epoch(self, loader):
