@@ -37,7 +37,8 @@ def load_model(path_to_model_folder: str):
 
 
 def main(path_to_data: str, path_to_model_folder: str,
-         path_to_config: str, batch_size: int = 8) -> None:
+         path_to_config: str, batch_size: int = 8,
+         plot_predictions: int = 0) -> None:
     path_to_raw_data = os.path.join(path_to_data, "raw")
     path_to_graph_data = os.path.join(path_to_data, "processed")
 
@@ -73,7 +74,16 @@ def main(path_to_data: str, path_to_model_folder: str,
                              model_path=path_to_model_folder)
     evaluator.evaluate(bb_pred, bb_ground_truth, cls_pred, cls_pred_label,
                        cls_ground_truth, vel, graph_names=graph_names)
-    evaluator.save_results(path_to_model_folder)
+    eval_folder = evaluator.save_results(path_to_model_folder)
+
+    if plot_predictions and eval_folder:
+        from radargnn_tpu.postprocess.visualization import PredictionVisualizer
+        names = list(config.min_object_score.keys())
+        names.insert(config.bg_index, "background")
+        for i in range(min(plot_predictions, len(bb_pred))):
+            fig, _ = PredictionVisualizer.plot_detections(
+                bb_pred[i], cls_pred[i], label_names=names)
+            fig.savefig(os.path.join(eval_folder, f"prediction_{i:03d}.png"))
 
 
 def cli() -> None:
@@ -82,6 +92,8 @@ def cli() -> None:
     parser.add_argument("--model", type=str, required=True)
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--plot", type=int, default=0,
+                        help="save prediction plots for the first N graphs")
     args = parser.parse_args()
     if not os.path.isdir(args.data):
         raise SystemExit("Invalid path for graph data folder")
@@ -89,7 +101,7 @@ def cli() -> None:
         raise SystemExit("Invalid path for model folder")
     if not os.path.isfile(args.config):
         raise SystemExit("Invalid path to config file")
-    main(args.data, args.model, args.config, args.batch_size)
+    main(args.data, args.model, args.config, args.batch_size, args.plot)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,7 @@ from radargnn_tpu.train.trainer import Trainer, set_seeds
 
 
 def main(path_to_graph_data: str, path_to_results: str,
-         path_to_config: str) -> None:
+         path_to_config: str, resume: bool = False) -> None:
     config_dict = UserConfigurationReader.read_config_file(path_to_config)
     model_config = UserConfigurationReader.get_config_object(
         "MODEL_ARCHITECTURE", config_dict)
@@ -48,7 +48,14 @@ def main(path_to_graph_data: str, path_to_results: str,
     trainer = Trainer(training_config, model, variables, mesh=mesh)
     ckpt_dir = os.path.join(path_to_results, "_checkpoint") \
         if training_config.checkpoint_every_epochs else None
-    trainer.fit(data_loaders, checkpoint_dir=ckpt_dir)
+    resume_from = ckpt_dir if (resume and ckpt_dir
+                               and os.path.exists(
+                                   os.path.join(ckpt_dir, "meta.json"))) \
+        else None
+    if resume_from:
+        print(f">>> resuming from {resume_from}")
+    trainer.fit(data_loaders, resume_from=resume_from,
+                checkpoint_dir=ckpt_dir)
 
     trainer.save_results(path_to_results, model_config, dataset_config_dict)
 
@@ -58,6 +65,8 @@ def cli() -> None:
     parser.add_argument("--data", type=str, required=True)
     parser.add_argument("--results", type=str, required=True)
     parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the _checkpoint folder if present")
     args = parser.parse_args()
     if not os.path.isdir(args.data):
         raise SystemExit("Invalid path for graph data folder")
@@ -65,7 +74,7 @@ def cli() -> None:
         raise SystemExit("Invalid path for results folder")
     if not os.path.isfile(args.config):
         raise SystemExit("Invalid path to config file")
-    main(args.data, args.results, args.config)
+    main(args.data, args.results, args.config, resume=args.resume)
 
 
 if __name__ == "__main__":

@@ -53,6 +53,12 @@ class DetNet(nn.Module):
             e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                     name="edge_emb_mlp")(e, edge_mask, train)
 
+        sender_csr = None
+        if cfg.conv_layer_type == "MPNNConv":
+            # one argsort per step buys sorted scatter-adds in every conv bwd
+            sender_order = jnp.argsort(senders)
+            sender_csr = (sender_order, senders[sender_order])
+
         for i, layer_dim in enumerate(cfg.conv_layer_dimensions):
             if cfg.conv_layer_type == "MPNNConv":
                 x = MPNNConv(out_channels=layer_dim,
@@ -61,7 +67,8 @@ class DetNet(nn.Module):
                              post_layers=cfg.conv_post_mlp_layer_number,
                              use_edge_encoder=cfg.conv_use_edge_encoder,
                              dtype=dtype, sorted_edges=sorted_edges,
-                             name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
+                             name=f"conv_{i}")(x, senders, receivers, e,
+                                               edge_mask, sender_csr)
             elif cfg.conv_layer_type == "RadarPointGNNConv":
                 x = RadarPointGNNConv(
                     aggr=cfg.aggregation_function,

@@ -20,7 +20,9 @@ from flax import linen as nn
 
 from radargnn_tpu.models.mlp import LinearReluStack, TorchLinear
 from radargnn_tpu.models.split_mlp import PreMLPParams, SplitPreMLP
-from radargnn_tpu.ops.segment import hoisted_segment_max, segment_reduce
+from radargnn_tpu.ops.segment import (
+    gather_with_sorted_backward, hoisted_segment_max, segment_reduce,
+)
 
 
 class _AggregationMixin:
@@ -55,7 +57,8 @@ class MPNNConv(_AggregationMixin, nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
                  receivers: jnp.ndarray, edge_attr: jnp.ndarray,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 sender_csr=None) -> jnp.ndarray:
         num_nodes = x.shape[0]
         in_channels = x.shape[-1]
 
@@ -86,7 +89,12 @@ class MPNNConv(_AggregationMixin, nn.Module):
             y_r = mm(x, w_r)
             y_s = mm(x, w_s).astype(cd)
             y_e = mm(edge_attr, w_e).astype(cd)
-            inner_operand = y_s[senders] + y_e
+            if sender_csr is not None:
+                # sorted-scatter backward pass for the gather transpose
+                y_s_g = gather_with_sorted_backward(y_s, senders, *sender_csr)
+            else:
+                y_s_g = y_s[senders]
+            inner_operand = y_s_g + y_e
             aggr = hoisted_segment_max(
                 inner_operand, receivers, num_nodes, edge_mask,
                 self.sorted_edges, y_r + bias)

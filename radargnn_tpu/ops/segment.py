@@ -117,3 +117,32 @@ def segment_reduce(reducer: str, data: jnp.ndarray, segment_ids: jnp.ndarray,
         raise ValueError(f"Unknown aggregation '{reducer}'; "
                          f"expected one of {sorted(_REDUCERS)}") from None
     return fn(data, segment_ids, num_segments, mask, indices_are_sorted)
+
+
+@jax.custom_vjp
+def gather_with_sorted_backward(values: jnp.ndarray, idx: jnp.ndarray,
+                                order: jnp.ndarray,
+                                idx_sorted: jnp.ndarray) -> jnp.ndarray:
+    """values[idx] whose backward pass is a SORTED segment-sum.
+
+    `order` = argsort(idx) and `idx_sorted` = idx[order], computed once per
+    batch: the gather transpose (a scatter-add) then runs with
+    `indices_are_sorted=True` — measurably faster than XLA's unsorted
+    scatter on TPU. Gradients flow to `values` only.
+    """
+    return values[idx]
+
+
+def _gwsb_fwd(values, idx, order, idx_sorted):
+    return values[idx], (values.shape[0], order, idx_sorted)
+
+
+def _gwsb_bwd(res, g):
+    num_rows, order, idx_sorted = res
+    dvalues = jax.ops.segment_sum(g[order], idx_sorted,
+                                  num_segments=num_rows,
+                                  indices_are_sorted=True)
+    return dvalues, None, None, None
+
+
+gather_with_sorted_backward.defvjp(_gwsb_fwd, _gwsb_bwd)

@@ -111,3 +111,10 @@ def test_full_cli_pipeline(tmp_path):
     assert "f1" in seg
     f1 = np.asarray(seg["f1"], dtype=float)
     assert np.isfinite(f1).all()
+
+    # evaluate again with prediction plots
+    from radargnn_tpu.cli.evaluate import main as evaluate_main
+    evaluate_main(dataset_root, model_folder, config_path,
+                  plot_predictions=2)
+    eval2 = os.path.join(model_folder, "evaluation_02")
+    assert os.path.exists(os.path.join(eval2, "prediction_000.png"))
