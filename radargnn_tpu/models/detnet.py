@@ -53,11 +53,11 @@ class DetNet(nn.Module):
             e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                     name="edge_emb_mlp")(e, edge_mask, train)
 
+        # note: routing the sender-gather backward through a pre-sorted
+        # segment-sum (ops.gather_with_sorted_backward) measured ~4% SLOWER
+        # end-to-end than XLA's unsorted scatter-add — the per-step argsort
+        # costs more than the sorted scatter saves (docs/RESULTS.md).
         sender_csr = None
-        if cfg.conv_layer_type == "MPNNConv":
-            # one argsort per step buys sorted scatter-adds in every conv bwd
-            sender_order = jnp.argsort(senders)
-            sender_csr = (sender_order, senders[sender_order])
 
         for i, layer_dim in enumerate(cfg.conv_layer_dimensions):
             if cfg.conv_layer_type == "MPNNConv":
