@@ -67,7 +67,7 @@ def main():
         batch_size=args.batch_size, shuffle=True, bg_index=5,
         deterministic=True, seed=123, exponential_lr_decay_factor=0.95,
         bb_loss_weight=0.5, regularization_strength=5e-6,
-        adapt_orientation_angle=True)
+        adapt_orientation_angle=True, scan_steps_per_dispatch=4)
 
     key = set_seeds(tcfg.seed)
     loaders = {
