@@ -81,12 +81,15 @@ def main():
         receivers, mask, n, node_block, edge_tile)
     m_in_p = m_in[perm]
 
-    def pallas_fn(m_in_, w_, b_, pr_, tb_):
-        return fused_message_segment_max(
-            m_in_, w_, b_, pr_, tb_, num_nodes=n,
-            node_block=node_block, edge_tile=edge_tile, interpret=False)
+    for variant in ("onehot", "scan"):
+        def pallas_fn(m_in_, w_, b_, pr_, tb_, _v=variant):
+            return fused_message_segment_max(
+                m_in_, w_, b_, pr_, tb_, num_nodes=n,
+                node_block=node_block, edge_tile=edge_tile, interpret=False,
+                variant=_v)
 
-    bench("pallas", pallas_fn, m_in_p, w, b, padded_recv, tile_blocks)
+        bench(f"pallas_{variant}", pallas_fn, m_in_p, w, b, padded_recv,
+              tile_blocks)
 
 
 if __name__ == "__main__":

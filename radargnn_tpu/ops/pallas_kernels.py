@@ -156,6 +156,53 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
             padded_recv.astype(np.int32))
 
 
+def _msg_segmax_scan_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref,
+                            recv_ref, o_ref, *, node_block: int,
+                            edge_tile: int):
+    """Scan variant: bidirectional segmented log-roll max (every edge ends
+    up holding its segment's max — equality of receiver ids gates the merge,
+    which also makes circular wrap-around self-correct), then ONE one-hot
+    MXU matmul pair (sum & count, sum/count == max since all summands are
+    equal) to land the per-node rows. O(log(TE)·TE·H) VPU + O(TN·TE·H) MXU.
+    """
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+    is_first_tile_of_block = jnp.logical_or(
+        t == 0, tile_blocks_ref[jnp.maximum(t - 1, 0)] != blk)
+
+    @pl.when(is_first_tile_of_block)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, _NEG)
+
+    m = jnp.dot(m_in_ref[:], w_ref[:], preferred_element_type=jnp.float32)
+    m = m + b_ref[0, :]
+
+    local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)   # [1, TE] int32
+
+    r = m
+    shift = 1
+    while shift < edge_tile:
+        # pltpu.roll needs non-negative shifts; size-shift == negative roll
+        for direction in (shift, edge_tile - shift):
+            l_roll = pltpu.roll(local2d, direction, axis=1)
+            match = (l_roll == local2d).astype(jnp.float32)    # [1, TE]
+            match_col = jnp.transpose(match)                   # [TE, 1]
+            r_roll = pltpu.roll(r, direction, axis=0)
+            merged = jnp.maximum(r, r_roll)
+            r = r * (1.0 - match_col) + merged * match_col
+        shift *= 2
+
+    # land rows: eq [TN, TE] one-hot; all summands of a row equal the max
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32)
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)   # [TN, H]
+    cnt = jnp.sum(eq, axis=1, keepdims=True)                    # [TN, 1]
+    has = (cnt > 0).astype(jnp.float32)
+    out_tile = sums / jnp.maximum(cnt, 1.0) * has + (has - 1.0) * (-_NEG)
+    o_ref[:] = jnp.maximum(o_ref[:], out_tile)
+
+
 def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
                        o_ref, *, node_block: int, edge_tile: int):
     t = pl.program_id(0)
@@ -191,13 +238,14 @@ def _msg_segmax_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref, recv_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("num_nodes", "node_block", "edge_tile",
-                                    "interpret"))
+                                    "interpret", "variant"))
 def fused_message_segment_max(m_in: jnp.ndarray, w: jnp.ndarray,
                               b: jnp.ndarray, padded_receivers: jnp.ndarray,
                               tile_blocks: jnp.ndarray,
                               num_nodes: int, node_block: int = 128,
                               edge_tile: int = 128,
-                              interpret: Optional[bool] = None) -> jnp.ndarray:
+                              interpret: Optional[bool] = None,
+                              variant: str = "scan") -> jnp.ndarray:
     """out[n] = max over edges e with receiver n of (m_in[e] @ w + b).
 
     Inputs must be pre-permuted with `prepare_csr_tiles` (receivers sorted,
@@ -228,8 +276,10 @@ def fused_message_segment_max(m_in: jnp.ndarray, w: jnp.ndarray,
                                memory_space=pltpu.VMEM),
     )
 
+    kernel = (_msg_segmax_scan_kernel if variant == "scan"
+              else _msg_segmax_kernel)
     out = pl.pallas_call(
-        functools.partial(_msg_segmax_kernel, node_block=node_block,
+        functools.partial(kernel, node_block=node_block,
                           edge_tile=edge_tile),
         out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
         grid_spec=grid_spec,
