@@ -35,6 +35,7 @@ NUM_POINTS = int(os.environ.get("BENCH_POINTS", 2816))
 GRAPHS = int(os.environ.get("BENCH_GRAPHS", 8))
 SCAN_STEPS = int(os.environ.get("BENCH_STEPS", 32))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
 
 
 def main():
@@ -69,7 +70,8 @@ def main():
         node_feature_embedding_layer_dimensions=[32, 64, 128, 224],
         edge_feature_embedding_layer_dimensions=[4, 8, 16],
         conv_layer_type="MPNNConv", batch_norm_in_mlps=False,
-        compute_dtype=DTYPE, assume_sorted_edges=True)
+        compute_dtype=DTYPE, assume_sorted_edges=True,
+        use_fused_aggregation=FUSED)
 
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=1e-3, epochs=1,
@@ -79,7 +81,8 @@ def main():
     k = 20
     samples = make_samples(num_frames=GRAPHS, num_points=NUM_POINTS, seed=0)
     batch = stack_samples(samples, max_nodes=NUM_POINTS, bg_index=5,
-                          max_edges=NUM_POINTS * k)
+                          max_edges=NUM_POINTS * k,
+                          csr_tiling=(128, 256) if FUSED else None)
 
     model, variables = create_detnet_state(arch, jax.random.key(0), batch)
     trainer = Trainer(tcfg, model, variables)

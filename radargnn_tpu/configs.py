@@ -219,6 +219,9 @@ class GNNArchitectureConfig:
     # stack_samples default layout) — enables the sorted-scatter fast path.
     # Must be False for hand-built unsorted edge lists.
     assume_sorted_edges: bool = False
+    # Use the fused Pallas max-aggregation kernel (requires CSR tiling in the
+    # batch — loader csr_tiling=(128, 256) — and pre_layers==1, aggr "max").
+    use_fused_aggregation: bool = False
 
 
 @dataclass

@@ -36,7 +36,8 @@ class GraphDataLoader:
                  shuffle: bool, bg_index: int, seed: int = 0,
                  max_nodes: Optional[int] = None,
                  max_edges: Optional[int] = None,
-                 pad_align: int = 64, drop_last: bool = False):
+                 pad_align: int = 64, drop_last: bool = False,
+                 csr_tiling=None):
         if not samples:
             raise ValueError("empty sample list")
         self.samples = samples
@@ -44,6 +45,9 @@ class GraphDataLoader:
         self.shuffle = shuffle
         self.bg_index = bg_index
         self.drop_last = drop_last
+        self.csr_tiling = csr_tiling
+        if csr_tiling is not None:
+            pad_align = max(pad_align, csr_tiling[0])
         self._rng = np.random.default_rng(seed)
 
         n_max = max(s.num_nodes for s in samples)
@@ -68,7 +72,7 @@ class GraphDataLoader:
             while len(batch_samples) < self.batch_size:
                 batch_samples.append(_empty_like(batch_samples[0]))
             yield stack_samples(batch_samples, self.max_nodes, self.bg_index,
-                                self.max_edges)
+                                self.max_edges, csr_tiling=self.csr_tiling)
 
 
 def _empty_like(sample: GraphSample) -> GraphSample:

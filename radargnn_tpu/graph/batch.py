@@ -43,6 +43,12 @@ class GraphBatch:
     pos: jnp.ndarray              # [G, N, 2] float
     vel: jnp.ndarray              # [G, N, 2] float
 
+    # optional CSR tiling for the fused Pallas aggregation (see
+    # ops.pallas_kernels.prepare_csr_tiles); None when not prepared
+    tiled_perm: Optional[jnp.ndarray] = None        # [G, E_t] int32
+    tiled_receivers: Optional[jnp.ndarray] = None   # [G, E_t] int32, -1 pad
+    tile_blocks: Optional[jnp.ndarray] = None       # [G, T] int32 (local)
+
     @property
     def num_graphs(self) -> int:
         return self.node_feat.shape[0]
@@ -72,6 +78,26 @@ class GraphBatch:
 
     def flat_edges(self) -> jnp.ndarray:
         return self.edge_feat.reshape(-1, self.edge_feat.shape[-1])
+
+    def flat_tiling(self, node_block: int):
+        """Global flat (perm, receivers, tile_blocks) or None if unprepared.
+
+        Per-graph tilings concatenate exactly because max_nodes is a multiple
+        of node_block: global block id = g·(N/node_block) + local block id.
+        """
+        if self.tiled_perm is None:
+            return None
+        g, et = self.tiled_perm.shape
+        n = self.max_nodes
+        assert n % node_block == 0, "max_nodes must align to node_block"
+        e_off = (jnp.arange(g, dtype=jnp.int32) * self.max_edges)[:, None]
+        n_off = (jnp.arange(g, dtype=jnp.int32) * n)[:, None]
+        b_off = (jnp.arange(g, dtype=jnp.int32) * (n // node_block))[:, None]
+        perm = (self.tiled_perm + e_off).reshape(-1)
+        recv = jnp.where(self.tiled_receivers >= 0,
+                         self.tiled_receivers + n_off, -1).reshape(-1)
+        blocks = (self.tile_blocks + b_off).reshape(-1)
+        return perm, recv, blocks
 
     def num_valid_nodes(self) -> jnp.ndarray:
         return jnp.sum(self.node_mask)
@@ -118,7 +144,8 @@ class GraphSample:
 
 
 def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
-               bg_index: int, sort_edges_by_receiver: bool = True) -> dict:
+               bg_index: int, sort_edges_by_receiver: bool = True,
+               csr_tiling=None) -> dict:
     """Pads a GraphSample to (max_nodes, max_edges); returns plain numpy dict.
 
     Padded nodes get label `bg_index` and NaN boxes; padded edges point at
@@ -161,7 +188,7 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     edge_mask = np.zeros((max_edges,), dtype=bool)
     edge_mask[:e] = True
 
-    return dict(
+    out = dict(
         node_feat=pad_nodes(sample.node_feat),
         edge_feat=np.concatenate([
             s_edge_feat.astype(np.float32),
@@ -172,11 +199,22 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         labels=labels, boxes=boxes,
         pos=pad_nodes(sample.pos), vel=pad_nodes(sample.vel),
     )
+    if csr_tiling is not None:
+        from radargnn_tpu.ops.pallas_kernels import prepare_csr_tiles
+        node_block, edge_tile = csr_tiling
+        total_tiles = (max_edges + edge_tile - 1) // edge_tile             + (max_nodes + node_block - 1) // node_block
+        perm, tile_blocks, padded_recv = prepare_csr_tiles(
+            receivers, edge_mask, max_nodes, node_block, edge_tile,
+            total_tiles)
+        out.update(tiled_perm=perm, tiled_receivers=padded_recv,
+                   tile_blocks=tile_blocks)
+    return out
 
 
 def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
                   max_edges: Optional[int] = None,
-                  sort_edges_by_receiver: bool = True) -> GraphBatch:
+                  sort_edges_by_receiver: bool = True,
+                  csr_tiling=None) -> GraphBatch:
     """Pads and stacks host samples into a device GraphBatch.
 
     With the default receiver-sorted edge layout, flat receiver indices are
@@ -186,6 +224,6 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
     if max_edges is None:
         max_edges = max(s.num_edges for s in samples)
     padded = [pad_sample(s, max_nodes, max_edges, bg_index,
-                         sort_edges_by_receiver) for s in samples]
+                         sort_edges_by_receiver, csr_tiling) for s in samples]
     arrays = {k: np.stack([p[k] for p in padded]) for k in padded[0]}
     return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()})

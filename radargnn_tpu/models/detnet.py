@@ -36,7 +36,8 @@ class DetNet(nn.Module):
                  senders: jnp.ndarray, receivers: jnp.ndarray,
                  node_mask: Optional[jnp.ndarray] = None,
                  edge_mask: Optional[jnp.ndarray] = None,
-                 train: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 train: bool = True, tiling=None
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         dtype = getattr(cfg, "compute_dtype", "float32")
         sorted_edges = getattr(cfg, "assume_sorted_edges", False)
@@ -58,6 +59,8 @@ class DetNet(nn.Module):
         # end-to-end than XLA's unsorted scatter-add — the per-step argsort
         # costs more than the sorted scatter saves (docs/RESULTS.md).
         sender_csr = None
+        if not getattr(cfg, "use_fused_aggregation", False):
+            tiling = None
 
         for i, layer_dim in enumerate(cfg.conv_layer_dimensions):
             if cfg.conv_layer_type == "MPNNConv":
@@ -68,7 +71,7 @@ class DetNet(nn.Module):
                              use_edge_encoder=cfg.conv_use_edge_encoder,
                              dtype=dtype, sorted_edges=sorted_edges,
                              name=f"conv_{i}")(x, senders, receivers, e,
-                                               edge_mask, sender_csr)
+                                               edge_mask, sender_csr, tiling)
             elif cfg.conv_layer_type == "RadarPointGNNConv":
                 x = RadarPointGNNConv(
                     aggr=cfg.aggregation_function,
@@ -97,11 +100,14 @@ class DetNet(nn.Module):
                        **kwargs):
         """Convenience: run on a GraphBatch, returning [G, N, ...] outputs."""
         g, n = batch.node_mask.shape
+        from radargnn_tpu.models.layers import FUSED_NODE_BLOCK
+        tiling = batch.flat_tiling(FUSED_NODE_BLOCK) \
+            if getattr(self.config, "use_fused_aggregation", False) else None
         out = self.apply(
             variables, batch.flat_nodes(), batch.flat_edges(),
             batch.flat_senders(), batch.flat_receivers(),
             batch.node_mask.reshape(-1), batch.edge_mask.reshape(-1),
-            train=train, **kwargs)
+            train=train, tiling=tiling, **kwargs)
         if train and kwargs.get("mutable"):
             (cls, bb), updates = out
             return (cls.reshape(g, n, -1), bb.reshape(g, n, -1)), updates

@@ -24,6 +24,11 @@ from radargnn_tpu.ops.segment import (
     gather_with_sorted_backward, hoisted_segment_max, segment_reduce,
 )
 
+# CSR-tile geometry for the fused Pallas aggregation (must match the
+# loader's csr_tiling argument)
+FUSED_NODE_BLOCK = 128
+FUSED_EDGE_TILE = 256
+
 
 class _AggregationMixin:
     """Shared masked aggregation with the sorted-scatter and bfloat16
@@ -58,7 +63,7 @@ class MPNNConv(_AggregationMixin, nn.Module):
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
                  receivers: jnp.ndarray, edge_attr: jnp.ndarray,
                  edge_mask: Optional[jnp.ndarray] = None,
-                 sender_csr=None) -> jnp.ndarray:
+                 sender_csr=None, tiling=None) -> jnp.ndarray:
         num_nodes = x.shape[0]
         in_channels = x.shape[-1]
 
@@ -87,17 +92,30 @@ class MPNNConv(_AggregationMixin, nn.Module):
                                preferred_element_type=jnp.float32)
 
             y_r = mm(x, w_r)
-            y_s = mm(x, w_s).astype(cd)
-            y_e = mm(edge_attr, w_e).astype(cd)
-            if sender_csr is not None:
-                # sorted-scatter backward pass for the gather transpose
-                y_s_g = gather_with_sorted_backward(y_s, senders, *sender_csr)
+            if tiling is not None:
+                # fused Pallas path: operand never materializes in HBM
+                from radargnn_tpu.ops.pallas_kernels import (
+                    make_fused_hoisted_aggregate,
+                )
+                perm_t, recv_t, blocks_t = tiling
+                fused = make_fused_hoisted_aggregate(
+                    num_nodes, FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+                aggr = fused(mm(x, w_s), edge_attr[perm_t],
+                             kernel[2 * d:].astype(jnp.float32), jnp.zeros_like(bias),
+                             senders[perm_t], recv_t, blocks_t, y_r + bias)
             else:
-                y_s_g = y_s[senders]
-            inner_operand = y_s_g + y_e
-            aggr = hoisted_segment_max(
-                inner_operand, receivers, num_nodes, edge_mask,
-                self.sorted_edges, y_r + bias)
+                y_s = mm(x, w_s).astype(cd)
+                y_e = mm(edge_attr, w_e).astype(cd)
+                if sender_csr is not None:
+                    # sorted-scatter backward pass for the gather transpose
+                    y_s_g = gather_with_sorted_backward(y_s, senders,
+                                                        *sender_csr)
+                else:
+                    y_s_g = y_s[senders]
+                inner_operand = y_s_g + y_e
+                aggr = hoisted_segment_max(
+                    inner_operand, receivers, num_nodes, edge_mask,
+                    self.sorted_edges, y_r + bias)
         else:
             m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, in_channels,
                             include_receiver=True, dtype=self.dtype,

@@ -298,3 +298,142 @@ def fused_message_segment_max_reference(m_in, w, b, receivers, mask,
 
     m = m_in @ w + b
     return segment_max(m, receivers, num_nodes, mask)
+
+
+# ---------------------------------------------------------------------------
+# fused hoisted aggregation (model integration)
+# ---------------------------------------------------------------------------
+
+def _hoisted_scan_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
+                         recv_ref, o_ref, *, node_block: int, edge_tile: int):
+    """Scan-variant kernel for the model's hoisted max path:
+    operand = add + e @ W_e + b, segment-max over receivers."""
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+    is_first_tile_of_block = jnp.logical_or(
+        t == 0, tile_blocks_ref[jnp.maximum(t - 1, 0)] != blk)
+
+    @pl.when(is_first_tile_of_block)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, _NEG)
+
+    m = add_ref[:] + jnp.dot(e_ref[:], w_ref[:],
+                             preferred_element_type=jnp.float32) + b_ref[0, :]
+
+    local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)   # [1, TE]
+
+    r = m
+    shift = 1
+    while shift < edge_tile:
+        for direction in (shift, edge_tile - shift):
+            l_roll = pltpu.roll(local2d, direction, axis=1)
+            match = (l_roll == local2d).astype(jnp.float32)
+            match_col = jnp.transpose(match)
+            r_roll = pltpu.roll(r, direction, axis=0)
+            merged = jnp.maximum(r, r_roll)
+            r = r * (1.0 - match_col) + merged * match_col
+        shift *= 2
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32)
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+    cnt = jnp.sum(eq, axis=1, keepdims=True)
+    has = (cnt > 0).astype(jnp.float32)
+    out_tile = sums / jnp.maximum(cnt, 1.0) * has + (has - 1.0) * (-_NEG)
+    o_ref[:] = jnp.maximum(o_ref[:], out_tile)
+
+
+def _hoisted_pallas_call(add, e_t, w_e, b, padded_receivers, tile_blocks,
+                         num_nodes, node_block, edge_tile, interpret):
+    e_pad, h = add.shape
+    de = e_t.shape[1]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, h), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile, de), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, edge_tile), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_hoisted_scan_kernel, node_block=node_block,
+                          edge_tile=edge_tile),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, add, e_t, w_e, b.reshape(1, h),
+      padded_receivers.astype(jnp.int32).reshape(t, edge_tile))
+    return out[:num_nodes]
+
+
+def make_fused_hoisted_aggregate(num_nodes: int, node_block: int = 128,
+                                 edge_tile: int = 256,
+                                 interpret: Optional[bool] = None):
+    """Builds the fused hoisted max-aggregation op with a custom VJP.
+
+    Forward (Pallas): inner[n] = max over tiled edges with receiver n of
+    (y_s[senders_t] + e_t @ w_e + b); output aggr = offset + inner for
+    non-empty n, 0 otherwise — the hoisted-MPNNConv aggregation without the
+    [E, H] operand ever hitting HBM.
+
+    Backward (XLA): recomputes the operand, routes gradients to edges within
+    a small tolerance of their segment max (the kernel's mean-landing makes
+    the forward value approximate at ~1e-7 relative; near-ties share the
+    gradient, which matches max-subgradient semantics closely enough for
+    training).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+
+    @jax.custom_vjp
+    def fused(y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, offset):
+        inner = _hoisted_pallas_call(
+            y_s[senders_t], e_t, w_e, b, padded_recv, tile_blocks,
+            num_nodes, node_block, edge_tile, interpret)
+        has = inner > _NEG / 2
+        return jnp.where(has, offset + inner, 0.0)
+
+    def fwd(y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, offset):
+        inner = _hoisted_pallas_call(
+            y_s[senders_t], e_t, w_e, b, padded_recv, tile_blocks,
+            num_nodes, node_block, edge_tile, interpret)
+        has = inner > _NEG / 2
+        out = jnp.where(has, offset + inner, 0.0)
+        return out, (y_s, e_t, w_e, b, senders_t, padded_recv, inner, has)
+
+    def bwd(res, g):
+        y_s, e_t, w_e, b, senders_t, padded_recv, inner, has = res
+        valid = padded_recv >= 0
+        recv_c = jnp.where(valid, padded_recv, 0)
+
+        operand = y_s[senders_t] + e_t @ w_e + b
+        inner_at_e = inner[recv_c]
+        sel = valid[:, None] & (jnp.abs(operand - inner_at_e)
+                                <= 1e-5 * jnp.abs(inner_at_e) + 1e-5)
+        g_pass = jnp.where(has, g, 0.0)
+        d_op = jnp.where(sel, g_pass[recv_c], 0.0)
+
+        d_y_s = jax.ops.segment_sum(d_op, senders_t,
+                                    num_segments=y_s.shape[0])
+        d_e_t = d_op @ w_e.T
+        d_w_e = e_t.T @ d_op
+        d_b = jnp.sum(d_op, axis=0)
+        d_offset = g_pass
+        return d_y_s, d_e_t, d_w_e, d_b, None, None, None, d_offset
+
+    fused.defvjp(fwd, bwd)
+    return fused

@@ -33,11 +33,16 @@ class Predictor:
     def _build_forward(self):
         @jax.jit
         def fwd(variables, batch: GraphBatch):
+            from radargnn_tpu.models.layers import FUSED_NODE_BLOCK
+
+            tiling = batch.flat_tiling(FUSED_NODE_BLOCK) \
+                if getattr(self.model.config, "use_fused_aggregation", False) \
+                else None
             out = self.model.apply(
                 variables, batch.flat_nodes(), batch.flat_edges(),
                 batch.flat_senders(), batch.flat_receivers(),
                 batch.node_mask.reshape(-1), batch.edge_mask.reshape(-1),
-                train=self.use_batch_stats,
+                train=self.use_batch_stats, tiling=tiling,
                 mutable=["batch_stats"] if self.use_batch_stats else False)
             (cls, bb) = out[0] if self.use_batch_stats else out
             cls_prob = jax.nn.softmax(cls, axis=1)

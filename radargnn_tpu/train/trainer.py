@@ -120,12 +120,18 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _forward(self, params, batch_stats, batch: GraphBatch, train: bool):
+        from radargnn_tpu.models.layers import FUSED_NODE_BLOCK
+
         variables = {"params": params, "batch_stats": batch_stats}
+        tiling = batch.flat_tiling(FUSED_NODE_BLOCK) \
+            if getattr(self.model.config, "use_fused_aggregation", False) \
+            else None
         return self.model.apply(
             variables, batch.flat_nodes(), batch.flat_edges(),
             batch.flat_senders(), batch.flat_receivers(),
             batch.node_mask.reshape(-1), batch.edge_mask.reshape(-1),
-            train=train, mutable=["batch_stats"] if train else False)
+            train=train, tiling=tiling,
+            mutable=["batch_stats"] if train else False)
 
     def _loss_terms(self, logits, bb, batch: GraphBatch, weights):
         cfg = self.config

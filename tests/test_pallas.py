@@ -101,3 +101,114 @@ def test_fused_segmax_all_negative_messages():
         num_nodes=n, node_block=8, edge_tile=8)
     np.testing.assert_allclose(np.asarray(got)[:4], -1.0)
     np.testing.assert_allclose(np.asarray(got)[4:], 0.0)
+
+
+def test_fused_hoisted_aggregate_forward_and_grad():
+    """Model-integration op: pallas forward matches the XLA hoisted max;
+    custom-VJP gradients match jax.grad of the XLA formulation."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate, prepare_csr_tiles,
+    )
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    rng = np.random.default_rng(9)
+    n, e, de, h = 96, 500, 8, 32
+    node_block, edge_tile = 32, 32
+
+    y_s = rng.normal(size=(n, h)).astype(np.float32)
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.3
+    b = rng.normal(size=(h,)).astype(np.float32)
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(
+        receivers, mask, n, node_block, edge_tile)
+    senders_t = senders[perm]
+    e_t = e_feat[perm]
+
+    fused = make_fused_hoisted_aggregate(n, node_block, edge_tile)
+
+    def f_pallas(y_s_, e_t_, w_e_, b_, offset_):
+        out = fused(y_s_, e_t_, w_e_, b_, jnp.asarray(senders_t),
+                    jnp.asarray(padded_recv), jnp.asarray(tile_blocks),
+                    offset_)
+        return out
+
+    def f_xla(y_s_, e_feat_, w_e_, b_, offset_):
+        operand = y_s_[jnp.asarray(senders)] + e_feat_ @ w_e_
+        return hoisted_segment_max(operand + b_ - b_ + 0.0,
+                                   jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False,
+                                   offset_ + b_)
+
+    args_p = tuple(map(jnp.asarray, (y_s, e_t, w_e, b, offset)))
+    args_x = tuple(map(jnp.asarray, (y_s, e_feat, w_e, b, offset)))
+
+    out_p = f_pallas(*args_p)
+    out_x = f_xla(*args_x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+    # gradients (scalar loss)
+    g_p = jax.grad(lambda *a: (f_pallas(*a) ** 2).sum(),
+                   argnums=(0, 2, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *a: (f_xla(*a) ** 2).sum(),
+                   argnums=(0, 2, 3, 4))(*args_x)
+    names = ("y_s", "w_e", "b", "offset")
+    for nm, a, bb_ in zip(names, g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+def test_detnet_fused_aggregation_matches_default():
+    """Full model + trainer step with use_fused_aggregation must match the
+    XLA path (forward and training losses) on tiled loader batches."""
+    import jax
+
+    from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.data.synthetic import make_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.models.layers import FUSED_EDGE_TILE, FUSED_NODE_BLOCK
+    from radargnn_tpu.train.trainer import Trainer, set_seeds
+
+    samples = make_samples(num_frames=4, num_points=100, seed=0)
+    losses = {}
+    for fused in (False, True):
+        arch = GNNArchitectureConfig(
+            node_feature_dimension=samples[0].node_feat.shape[1],
+            edge_feature_dimension=2, conv_layer_dimensions=[16, 16],
+            classification_head_layer_dimensions=[6],
+            regression_head_layer_dimensions=[5],
+            initial_node_feature_embedding=True,
+            initial_edge_feature_embedding=True,
+            node_feature_embedding_layer_dimensions=[16],
+            edge_feature_embedding_layer_dimensions=[8],
+            batch_norm_in_mlps=False, assume_sorted_edges=True,
+            use_fused_aggregation=fused)
+        tcfg = TrainingConfig(
+            dataset="radarscenes", learning_rate=1e-3, epochs=2, batch_size=2,
+            shuffle=False, bg_index=5, adapt_orientation_angle=True,
+            deterministic=True, seed=3)
+        key = set_seeds(3)
+        tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE) if fused else None
+        tr = GraphDataLoader(samples[:2], 2, False, 5, seed=1,
+                             csr_tiling=tiling)
+        va = GraphDataLoader(samples[2:], 2, False, 5, seed=1,
+                             max_nodes=tr.max_nodes, max_edges=tr.max_edges,
+                             csr_tiling=tiling)
+        batch = next(iter(tr))
+        model, variables = create_detnet_state(arch, key, batch)
+        trainer = Trainer(tcfg, model, variables)
+        trainer.fit({"train": tr, "validate": va}, verbose=False)
+        losses[fused] = (trainer.train_loss, trainer.valid_loss)
+
+    np.testing.assert_allclose(losses[True][0], losses[False][0],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(losses[True][1], losses[False][1],
+                               rtol=1e-3, atol=1e-4)
