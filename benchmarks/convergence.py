@@ -43,6 +43,8 @@ def main():
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--full-arch", action="store_true",
+                        help="flagship conv stack [224,224,128,64,32]")
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
@@ -50,16 +52,24 @@ def main():
     n_val = max(args.frames // 5, 2)
     train_s, val_s = samples[:-n_val], samples[-n_val:]
 
+    if args.full_arch:
+        conv_dims = [224, 224, 128, 64, 32]
+        node_emb = [32, 64, 128, 224]
+        edge_emb = [4, 8, 16]
+    else:
+        conv_dims = [64, 64, 32]
+        node_emb = [32, 64]
+        edge_emb = [4, 8]
     arch = GNNArchitectureConfig(
         node_feature_dimension=train_s[0].node_feat.shape[1],
         edge_feature_dimension=2,
-        conv_layer_dimensions=[64, 64, 32],
+        conv_layer_dimensions=conv_dims,
         classification_head_layer_dimensions=[6],
         regression_head_layer_dimensions=[16, 5],
         initial_node_feature_embedding=True,
         initial_edge_feature_embedding=True,
-        node_feature_embedding_layer_dimensions=[32, 64],
-        edge_feature_embedding_layer_dimensions=[4, 8],
+        node_feature_embedding_layer_dimensions=node_emb,
+        edge_feature_embedding_layer_dimensions=edge_emb,
         batch_norm_in_mlps=False, compute_dtype=args.dtype,
         assume_sorted_edges=True)
     tcfg = TrainingConfig(

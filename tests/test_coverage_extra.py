@@ -143,3 +143,72 @@ def test_sorted_edges_flag_consistency():
                                atol=1e-6)
     np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5,
                                atol=1e-6)
+
+
+def test_radar_scenes_distribution_weights():
+    """set_weights_according_radar_scenes_distribution uses the published
+    class-frequency weights (parity: `gnn/trainer.py:89-103`)."""
+    import jax
+    from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
+    from radargnn_tpu.graph.batch import stack_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.train.trainer import Trainer
+    from radargnn_tpu.utils.properties import ClassDistribution
+
+    samples = make_samples(num_frames=1, num_points=40, seed=6)
+    batch = stack_samples(samples, 64, 5, 64 * 20)
+    arch = GNNArchitectureConfig(
+        node_feature_dimension=samples[0].node_feat.shape[1],
+        edge_feature_dimension=2, conv_layer_dimensions=[8],
+        classification_head_layer_dimensions=[6],
+        regression_head_layer_dimensions=[5], batch_norm_in_mlps=False)
+    tcfg = TrainingConfig(
+        dataset="radarscenes", learning_rate=1e-3, epochs=1, batch_size=1,
+        shuffle=False, bg_index=5,
+        set_weights_according_radar_scenes_distribution=True)
+    model, variables = create_detnet_state(arch, jax.random.key(0), batch)
+    trainer = Trainer(tcfg, model, variables)
+    expected = list(ClassDistribution.get_class_weights().values())
+    np.testing.assert_allclose(np.asarray(trainer._weights), expected,
+                               rtol=1e-6)
+
+
+def test_en_invariance_cli_evaluate(tmp_path):
+    """CLI-level decode with bb_invariance 'en' (the trickiest format)."""
+    import json
+    from radargnn_tpu.configs import PostProcessingConfiguration
+    from radargnn_tpu.data.ground_truth import create_2d_bounding_boxes
+    from radargnn_tpu.postprocess import (
+        ObjectDetectionMetrics, Postprocessor, PredictionExtractor,
+    )
+
+    rng = np.random.default_rng(8)
+    n = 60
+    pos = rng.uniform(0, 50, size=(n, 2))
+    labels = np.full(n, 5.0)
+    tracks = np.full(n, b"", object)
+    for obj, (lo, hi) in enumerate([(0, 8), (8, 15)]):
+        centers = [np.array([12.0, 12.0]), np.array([35.0, 30.0])]
+        pos[lo:hi] = centers[obj] + rng.uniform(-2, 2, size=(hi - lo, 2))
+        labels[lo:hi] = obj
+        tracks[lo:hi] = str(obj).encode()
+    boxes = create_2d_bounding_boxes(pos, tracks, False, "en")
+    probs = np.full((n, 6), 0.01)
+    probs[np.arange(n), labels.astype(int)] = 0.9
+
+    config = PostProcessingConfiguration(
+        split="validate", iou_for_nms=0.01,
+        min_object_score={"car": 0.4, "pedestrian": 0.4,
+                          "pedestrian_group": 0.4, "two_wheeler": 0.4,
+                          "large_vehicle": 0.4},
+        max_score_for_background=0.5, iou_for_mAP=0.3, use_point_iou=True,
+        bg_index=5, bb_invariance="en")
+
+    pp = Postprocessor()
+    bb_p, bb_g, cls_p, cls_g = pp.process(
+        config, [pos], [rng.normal(size=(n, 2))],
+        {"bounding_box_predictions": [np.nan_to_num(boxes, nan=0.0)],
+         "class_probability_prediction": [probs]},
+        {"bounding_box_true": [boxes], "class_true": [labels]})
+    res = ObjectDetectionMetrics.get_map(config, bb_p, bb_g, cls_p)
+    assert res["map"] > 0.99
