@@ -95,10 +95,10 @@ class MPNNConv(_AggregationMixin, nn.Module):
             if tiling is not None:
                 # fused Pallas path: operand never materializes in HBM
                 from radargnn_tpu.ops.pallas_kernels import (
-                    make_fused_hoisted_aggregate,
+                    make_fused_hoisted_aggregate_pallas_bwd,
                 )
                 perm_t, recv_t, blocks_t = tiling
-                fused = make_fused_hoisted_aggregate(
+                fused = make_fused_hoisted_aggregate_pallas_bwd(
                     num_nodes, FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
                 aggr = fused(mm(x, w_s), edge_attr[perm_t],
                              kernel[2 * d:].astype(jnp.float32), jnp.zeros_like(bias),

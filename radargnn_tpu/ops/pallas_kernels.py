@@ -437,3 +437,142 @@ def make_fused_hoisted_aggregate(num_nodes: int, node_block: int = 128,
 
     fused.defvjp(fwd, bwd)
     return fused
+
+
+def _hoisted_bwd_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
+                        recv_ref, inner_ref, g_ref, dop_ref, de_ref, dw_ref,
+                        *, node_block: int, edge_tile: int):
+    """Backward of the hoisted aggregation under the same CSR tiling.
+
+    Per edge tile: recompute the operand, fetch its node block's maxima and
+    upstream grads via one-hot MXU matmuls (no gathers), select edges at the
+    max, and emit d_operand / d_e tiles plus a W_e-gradient accumulator.
+    """
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    operand = add_ref[:] + jnp.dot(e_ref[:], w_ref[:],
+                                   preferred_element_type=jnp.float32) \
+        + b_ref[0, :]
+
+    local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block      # [1, TE]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32)                                # [TN, TE]
+
+    inner_at_e = jnp.dot(eq.T, inner_ref[:],
+                         preferred_element_type=jnp.float32)    # [TE, H]
+    g_at_e = jnp.dot(eq.T, g_ref[:],
+                     preferred_element_type=jnp.float32)        # [TE, H]
+    # rows with no receiver (padding) got 0-rows from the matmuls; their
+    # |operand - 0| test could spuriously pass — gate on having a receiver
+    has_recv = jnp.sum(eq, axis=0)[:, None]                     # [TE, 1]
+    sel = (jnp.abs(operand - inner_at_e)
+           <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
+    d_op = sel * has_recv * g_at_e
+
+    dop_ref[:] = d_op
+    de_ref[:] = jnp.dot(d_op, w_ref[:].T, preferred_element_type=jnp.float32)
+    dw_ref[:] += jnp.dot(e_ref[:].T, d_op,
+                         preferred_element_type=jnp.float32)
+
+
+def _hoisted_bwd_call(add, e_t, w_e, b, padded_receivers, tile_blocks,
+                      inner, g, num_nodes, node_block, edge_tile, interpret):
+    e_pad, h = add.shape
+    de = e_t.shape[1]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+    inner_p = jnp.pad(inner, ((0, nb_pad - num_nodes), (0, 0)))
+    g_p = jnp.pad(g, ((0, nb_pad - num_nodes), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, h), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile, de), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, edge_tile), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((edge_tile, h), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile, de), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    d_op, d_e, d_w = pl.pallas_call(
+        functools.partial(_hoisted_bwd_kernel, node_block=node_block,
+                          edge_tile=edge_tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, h), jnp.float32),
+            jax.ShapeDtypeStruct((e_pad, de), jnp.float32),
+            jax.ShapeDtypeStruct((de, h), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, add, e_t, w_e, b.reshape(1, h),
+      padded_receivers.astype(jnp.int32).reshape(t, edge_tile),
+      inner_p, g_p)
+    return d_op, d_e, d_w
+
+
+def make_fused_hoisted_aggregate_pallas_bwd(num_nodes: int,
+                                            node_block: int = 128,
+                                            edge_tile: int = 256,
+                                            interpret: Optional[bool] = None):
+    """Fused hoisted aggregation with Pallas forward AND backward kernels."""
+    if interpret is None:
+        interpret = _interpret_default()
+
+    @jax.custom_vjp
+    def fused(y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, offset):
+        inner = _hoisted_pallas_call(
+            y_s[senders_t], e_t, w_e, b, padded_recv, tile_blocks,
+            num_nodes, node_block, edge_tile, interpret)
+        has = inner > _NEG / 2
+        return jnp.where(has, offset + inner, 0.0)
+
+    def fwd(y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, offset):
+        add = y_s[senders_t]
+        inner = _hoisted_pallas_call(
+            add, e_t, w_e, b, padded_recv, tile_blocks,
+            num_nodes, node_block, edge_tile, interpret)
+        has = inner > _NEG / 2
+        out = jnp.where(has, offset + inner, 0.0)
+        return out, (y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks,
+                     inner, has)
+
+    def bwd(res, g):
+        (y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, inner,
+         has) = res
+        g_pass = jnp.where(has, g, 0.0)
+        inner_z = jnp.where(has, inner, 0.0)
+        add = y_s[senders_t]
+        d_op, d_e, d_w = _hoisted_bwd_call(
+            add, e_t, w_e, b, padded_recv, tile_blocks, inner_z, g_pass,
+            num_nodes, node_block, edge_tile, interpret)
+        d_y_s = jax.ops.segment_sum(d_op, senders_t,
+                                    num_segments=y_s.shape[0])
+        d_b = jnp.sum(d_op, axis=0)
+        return d_y_s, d_e, d_w, d_b, None, None, None, g_pass
+
+    fused.defvjp(fwd, bwd)
+    return fused

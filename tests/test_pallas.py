@@ -212,3 +212,77 @@ def test_detnet_fused_aggregation_matches_default():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(losses[True][1], losses[False][1],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_hoisted_aggregate_pallas_bwd_matches():
+    """Pallas-backward variant: gradients match the XLA formulation."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate_pallas_bwd, prepare_csr_tiles,
+    )
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    rng = np.random.default_rng(11)
+    n, e, de, h = 96, 500, 8, 32
+    node_block, edge_tile = 32, 32
+
+    y_s = rng.normal(size=(n, h)).astype(np.float32)
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.3
+    b = rng.normal(size=(h,)).astype(np.float32)
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(
+        receivers, mask, n, node_block, edge_tile)
+    senders_t = senders[perm]
+    e_t = e_feat[perm]
+
+    fused = make_fused_hoisted_aggregate_pallas_bwd(n, node_block, edge_tile)
+
+    def f_pallas(y_s_, e_t_, w_e_, b_, offset_):
+        return fused(y_s_, e_t_, w_e_, b_, jnp.asarray(senders_t),
+                     jnp.asarray(padded_recv), jnp.asarray(tile_blocks),
+                     offset_)
+
+    def f_xla(y_s_, e_feat_, w_e_, b_, offset_):
+        operand = y_s_[jnp.asarray(senders)] + e_feat_ @ w_e_ + b_
+        return hoisted_segment_max(operand, jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False, offset_ + b_ * 0)
+
+    args_p = tuple(map(jnp.asarray, (y_s, e_t, w_e, b, offset)))
+    args_x = tuple(map(jnp.asarray, (y_s, e_feat, w_e, b, offset)))
+
+    # note: XLA puts b inside the max operand; fused puts it inside the
+    # kernel too — same math
+    out_p = f_pallas(*args_p)
+    # adapt: XLA formulation with b inside operand and offset separate
+    def f_xla2(y_s_, e_feat_, w_e_, b_, offset_):
+        operand = y_s_[jnp.asarray(senders)] + e_feat_ @ w_e_ + b_
+        return hoisted_segment_max(operand, jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False, offset_)
+    out_x = f_xla2(*args_x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+    g_p = jax.grad(lambda *a: (f_pallas(*a) ** 2).sum(),
+                   argnums=(0, 2, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *a: (f_xla2(*a) ** 2).sum(),
+                   argnums=(0, 2, 3, 4))(*args_x)
+    for nm, a, bb_ in zip(("y_s", "w_e", "b", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+    # e gradient: map tiled cotangent back through the perm gather
+    ge_p = jax.grad(lambda et: (f_pallas(args_p[0], et, *args_p[2:]) ** 2)
+                    .sum())(args_p[1])
+    ge_x = jax.grad(lambda ef: (f_xla2(args_x[0], ef, *args_x[2:]) ** 2)
+                    .sum())(args_x[1])
+    ge_p_scattered = np.zeros_like(e_feat)
+    np.add.at(ge_p_scattered, perm, np.asarray(ge_p))
+    # dummy slots map to edge 0 with zero cotangent, so scatter matches
+    np.testing.assert_allclose(ge_p_scattered, np.asarray(ge_x),
+                               rtol=2e-3, atol=2e-3)
