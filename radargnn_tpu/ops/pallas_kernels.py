@@ -317,8 +317,9 @@ def _hoisted_scan_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
     def _():
         o_ref[:] = jnp.full_like(o_ref, _NEG)
 
-    m = add_ref[:] + jnp.dot(e_ref[:], w_ref[:],
-                             preferred_element_type=jnp.float32) + b_ref[0, :]
+    m = add_ref[:].astype(jnp.float32) \
+        + jnp.dot(e_ref[:], w_ref[:],
+                  preferred_element_type=jnp.float32) + b_ref[0, :]
 
     local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)   # [1, TE]
 
@@ -455,9 +456,9 @@ def _hoisted_bwd_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    operand = add_ref[:] + jnp.dot(e_ref[:], w_ref[:],
-                                   preferred_element_type=jnp.float32) \
-        + b_ref[0, :]
+    operand = add_ref[:].astype(jnp.float32) \
+        + jnp.dot(e_ref[:], w_ref[:],
+                  preferred_element_type=jnp.float32) + b_ref[0, :]
 
     local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block      # [1, TE]
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
@@ -542,16 +543,18 @@ def make_fused_hoisted_aggregate_pallas_bwd(num_nodes: int,
     if interpret is None:
         interpret = _interpret_default()
 
+    gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
+
     @jax.custom_vjp
     def fused(y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, offset):
         inner = _hoisted_pallas_call(
-            y_s[senders_t], e_t, w_e, b, padded_recv, tile_blocks,
-            num_nodes, node_block, edge_tile, interpret)
+            y_s.astype(gather_dtype)[senders_t], e_t, w_e, b, padded_recv,
+            tile_blocks, num_nodes, node_block, edge_tile, interpret)
         has = inner > _NEG / 2
         return jnp.where(has, offset + inner, 0.0)
 
     def fwd(y_s, e_t, w_e, b, senders_t, padded_recv, tile_blocks, offset):
-        add = y_s[senders_t]
+        add = y_s.astype(gather_dtype)[senders_t]
         inner = _hoisted_pallas_call(
             add, e_t, w_e, b, padded_recv, tile_blocks,
             num_nodes, node_block, edge_tile, interpret)
@@ -565,7 +568,7 @@ def make_fused_hoisted_aggregate_pallas_bwd(num_nodes: int,
          has) = res
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
-        add = y_s[senders_t]
+        add = y_s.astype(gather_dtype)[senders_t]
         d_op, d_e, d_w = _hoisted_bwd_call(
             add, e_t, w_e, b, padded_recv, tile_blocks, inner_z, g_pass,
             num_nodes, node_block, edge_tile, interpret)
