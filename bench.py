@@ -80,9 +80,15 @@ def main():
 
     k = 20
     samples = make_samples(num_frames=GRAPHS, num_points=NUM_POINTS, seed=0)
+    if FUSED:
+        from radargnn_tpu.models.layers import (
+            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+        )
+        tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+    else:
+        tiling = None
     batch = stack_samples(samples, max_nodes=NUM_POINTS, bg_index=5,
-                          max_edges=NUM_POINTS * k,
-                          csr_tiling=(128, 256) if FUSED else None)
+                          max_edges=NUM_POINTS * k, csr_tiling=tiling)
 
     model, variables = create_detnet_state(arch, jax.random.key(0), batch)
     trainer = Trainer(tcfg, model, variables)

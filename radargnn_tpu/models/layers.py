@@ -25,9 +25,11 @@ from radargnn_tpu.ops.segment import (
 )
 
 # CSR-tile geometry for the fused Pallas aggregation (must match the
-# loader's csr_tiling argument)
-FUSED_NODE_BLOCK = 128
-FUSED_EDGE_TILE = 256
+# loader's csr_tiling argument); env-overridable for tuning
+import os as _os
+
+FUSED_NODE_BLOCK = int(_os.environ.get("RADARGNN_FUSED_NODE_BLOCK", 128))
+FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 256))
 
 
 class _AggregationMixin:
