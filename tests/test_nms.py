@@ -105,3 +105,22 @@ def test_nms_negative_coordinates():
 
 def test_nms_empty():
     assert nms_indices(np.zeros((0, 4)), np.zeros((0,)), 0.5, False).size == 0
+
+
+def test_nms_invariance_under_rigid_transform():
+    """NMS keep set is invariant under rotation+translation of all boxes."""
+    rng = np.random.default_rng(3)
+    boxes = np.stack([rng.uniform(-5, 5, 12), rng.uniform(-5, 5, 12),
+                      rng.uniform(1, 4, 12), rng.uniform(0.5, 2, 12),
+                      rng.uniform(0, 180, 12)], axis=1)
+    scores = rng.random(12)
+    base = nms_indices(boxes, scores, 0.3, rotated=True).tolist()
+
+    for phi, shift in ((37.0, (11.0, -4.0)), (120.0, (-30.0, 8.0))):
+        t = np.deg2rad(phi)
+        rot = np.array([[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]])
+        moved = boxes.copy()
+        moved[:, :2] = boxes[:, :2] @ rot.T + np.asarray(shift)
+        moved[:, 4] = np.mod(boxes[:, 4] + phi, 180.0)
+        got = nms_indices(moved, scores, 0.3, rotated=True).tolist()
+        assert got == base, (phi, shift)

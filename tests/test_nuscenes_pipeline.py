@@ -315,3 +315,84 @@ def test_nuscenes_evaluator_end_to_end(tmp_path):
         metrics = json.load(f)
     assert metrics["mean_ap"] > 0.9           # perfect boxes -> near-perfect AP
     assert 0 <= metrics["nd_score"] <= 1
+
+
+def test_multisweep_transforms(tmp_path):
+    """nsweeps>1: a previous sweep taken at a different ego pose must land at
+    the correct position in the reference sweep's sensor frame."""
+    import numpy as np
+    from radargnn_tpu.data.nuscenes.db import (
+        NuScenes, RadarPointCloudLoader,
+    )
+
+    root = str(tmp_path / "nusc")
+    raw = os.path.join(root, "raw")
+    version = "v1.0-mini"
+    table_dir = os.path.join(raw, version)
+    os.makedirs(table_dir)
+    os.makedirs(os.path.join(raw, "sweeps"))
+
+    def yaw_quat(yaw):
+        return [np.cos(yaw / 2), 0.0, 0.0, np.sin(yaw / 2)]
+
+    tables = {t: [] for t in ("scene", "sample", "sample_data",
+                              "sample_annotation", "ego_pose",
+                              "calibrated_sensor", "category", "instance",
+                              "attribute", "sensor")}
+    tables["sensor"].append({"token": "sensorR", "channel": "RADAR_FRONT",
+                             "modality": "radar"})
+    # sensor mounted 1m ahead of ego, no rotation
+    tables["calibrated_sensor"].append({
+        "token": "csR", "sensor_token": "sensorR",
+        "translation": [1.0, 0.0, 0.0], "rotation": [1, 0, 0, 0],
+        "camera_intrinsic": []})
+
+    # current pose: ego at (10, 0), yaw 0 ; previous pose: ego at (0, 0),
+    # yaw 90°
+    tables["ego_pose"].append({"token": "poseCur", "timestamp": 2_000_000,
+                               "translation": [10.0, 0.0, 0.0],
+                               "rotation": [1, 0, 0, 0]})
+    tables["ego_pose"].append({"token": "posePrev", "timestamp": 1_500_000,
+                               "translation": [0.0, 0.0, 0.0],
+                               "rotation": yaw_quat(np.pi / 2)})
+
+    # one point straight ahead of the sensor in each sweep
+    pts = np.zeros((18, 1))
+    pts[0] = 5.0                                   # x in sensor frame
+    _write_radar_pcd(os.path.join(raw, "sweeps/cur.pcd"), pts)
+    _write_radar_pcd(os.path.join(raw, "sweeps/prev.pcd"), pts)
+
+    tables["sample_data"].append({
+        "token": "sdCur", "sample_token": "samp", "ego_pose_token": "poseCur",
+        "calibrated_sensor_token": "csR", "timestamp": 2_000_000,
+        "filename": "sweeps/cur.pcd", "is_key_frame": True,
+        "prev": "sdPrev", "next": ""})
+    tables["sample_data"].append({
+        "token": "sdPrev", "sample_token": "sampPrev",
+        "ego_pose_token": "posePrev", "calibrated_sensor_token": "csR",
+        "timestamp": 1_500_000, "filename": "sweeps/prev.pcd",
+        "is_key_frame": False, "prev": "", "next": "sdCur"})
+    tables["sample"].append({"token": "samp", "timestamp": 2_000_000,
+                             "scene_token": "sc",
+                             "data": {"RADAR_FRONT": "sdCur"}, "anns": [],
+                             "prev": "", "next": ""})
+
+    for name, rows in tables.items():
+        with open(os.path.join(table_dir, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+
+    nusc = NuScenes(version, raw)
+    sample = nusc.get("sample", "samp")
+    points, times = RadarPointCloudLoader.from_file_multisweep(
+        nusc, sample, "RADAR_FRONT", "RADAR_FRONT", nsweeps=2)
+
+    assert points.shape[1] == 2
+    # current sweep point: unchanged in its own frame
+    np.testing.assert_allclose(points[:3, 0], [5.0, 0, 0], atol=1e-9)
+    # previous sweep point in global frame: prev ego (0,0) yaw 90° → sensor
+    # at (0,1), point 5m ahead of sensor → global (0, 6).
+    # in current sensor frame: global (0,6) - cur ego (10,0) - mount (1,0)
+    # → (-11, 6)
+    np.testing.assert_allclose(points[:3, 1], [-11.0, 6.0, 0.0], atol=1e-6)
+    # time lags: 0 for current, 0.5s for previous
+    np.testing.assert_allclose(times, [0.0, 0.5], atol=1e-9)

@@ -185,3 +185,100 @@ def test_radarscenes_evaluator_end_to_end(tmp_path):
     # numbering
     ev.save_results(str(tmp_path))
     assert os.path.isdir(os.path.join(str(tmp_path), "evaluation_02"))
+
+
+def _naive_coco_ap(dets, gts, iou_fn, thr):
+    """First-principles single-class COCO AP (independent of the engine):
+    greedy best-IoU matching per image in score order, global score sort,
+    101-point interpolated precision with right-max envelope."""
+    records = []  # (score, is_tp)
+    npig = sum(len(g) for g in gts)
+    for det_i, gt_i in zip(dets, gts):
+        det_i = sorted(det_i, key=lambda d: -d[1])
+        matched = [False] * len(gt_i)
+        for box, score in det_i:
+            best, best_iou = -1, 0.0
+            for j, gbox in enumerate(gt_i):
+                if matched[j]:
+                    continue
+                iou = iou_fn(box, gbox)
+                if iou > best_iou:
+                    best, best_iou = j, iou
+            if best >= 0 and best_iou > thr:
+                matched[best] = True
+                records.append((score, True))
+            else:
+                records.append((score, False))
+    if npig == 0:
+        return None
+    records.sort(key=lambda r: -r[0])
+    tp = np.cumsum([r[1] for r in records])
+    fp = np.cumsum([not r[1] for r in records])
+    rec = tp / npig
+    prec = tp / np.maximum(tp + fp, 1e-12)
+    prec = np.maximum.accumulate(prec[::-1])[::-1]
+    out = np.zeros(101)
+    rts = np.linspace(0, 1, 101)
+    idx = np.searchsorted(rec, rts, side="left")
+    ok = idx < len(rec)
+    out[ok] = prec[idx[ok]]
+    return float(out.mean())
+
+
+def test_map_engine_fuzz_vs_naive():
+    """Randomized multi-image single-class problems: engine == naive AP."""
+    rng = np.random.default_rng(12)
+
+    def iou_aligned(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0, x2 - x1) * max(0, y2 - y1)
+        ar_a = (a[2] - a[0]) * (a[3] - a[1])
+        ar_b = (b[2] - b[0]) * (b[3] - b[1])
+        return inter / (ar_a + ar_b - inter) if inter else 0.0
+
+    for trial in range(5):
+        n_img = 4
+        dets, gts = [], []
+        preds_dicts, target_dicts = [], []
+        for _ in range(n_img):
+            n_gt = rng.integers(0, 4)
+            n_det = rng.integers(0, 6)
+            gt_boxes = []
+            for _ in range(n_gt):
+                x, y = rng.uniform(0, 20, 2)
+                w, h = rng.uniform(1, 5, 2)
+                gt_boxes.append((x, y, x + w, y + h))
+            det = []
+            for _ in range(n_det):
+                if gt_boxes and rng.random() < 0.6:
+                    gx1, gy1, gx2, gy2 = gt_boxes[rng.integers(len(gt_boxes))]
+                    jitter = rng.uniform(-1, 1, 4)
+                    box = (gx1 + jitter[0], gy1 + jitter[1],
+                           gx2 + jitter[2], gy2 + jitter[3])
+                else:
+                    x, y = rng.uniform(0, 20, 2)
+                    w, h = rng.uniform(1, 5, 2)
+                    box = (x, y, x + w, y + h)
+                box = (min(box[0], box[2]), min(box[1], box[3]),
+                       max(box[0], box[2]) + 1e-3, max(box[1], box[3]) + 1e-3)
+                det.append((box, float(rng.random())))
+            dets.append(det)
+            gts.append(gt_boxes)
+            preds_dicts.append({
+                "boxes": np.array([b for b, _ in det]).reshape(-1, 4),
+                "scores": np.array([s for _, s in det]),
+                "labels": np.zeros(len(det), np.int64)})
+            target_dicts.append({
+                "boxes": np.array(gt_boxes).reshape(-1, 4),
+                "labels": np.zeros(len(gt_boxes), np.int64)})
+
+        thr = 0.3
+        naive = _naive_coco_ap(dets, gts, iou_aligned, thr)
+        engine = MeanAveragePrecision([thr])
+        engine.update(preds_dicts, target_dicts)
+        res = engine.compute()
+        if naive is None:
+            assert res["map"] == -1.0
+        else:
+            assert res["map"] == pytest.approx(naive, abs=1e-9), f"trial {trial}"
