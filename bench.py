@@ -35,7 +35,7 @@ NUM_POINTS = int(os.environ.get("BENCH_POINTS", 2816))
 GRAPHS = int(os.environ.get("BENCH_GRAPHS", 8))
 SCAN_STEPS = int(os.environ.get("BENCH_STEPS", 32))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
-FUSED = os.environ.get("BENCH_FUSED", "0") == "1"
+FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 
 
 def main():

@@ -29,10 +29,17 @@ def main(path_to_graph_data: str, path_to_results: str,
         else jax.random.key(0)
 
     print(">>> loading data")
+    csr_tiling = None
+    if getattr(model_config, "use_fused_aggregation", False):
+        from radargnn_tpu.models.layers import (
+            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+        )
+        csr_tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
     data_loaders, dataset_config_dict = get_data_loaders(
         ["train", "validate"], path_to_graph_data,
         training_config.batch_size, training_config.shuffle,
-        bg_index=training_config.bg_index, seed=training_config.seed)
+        bg_index=training_config.bg_index, seed=training_config.seed,
+        csr_tiling=csr_tiling)
 
     print(">>> creating model")
     train_loader = data_loaders["train"]

@@ -93,6 +93,7 @@ def load_split_samples(root: str, split: str) -> List[GraphSample]:
 
 def get_data_loaders(splits: List[str], root: str, batch_size: int,
                      shuffle: bool, bg_index: int = 5, seed: int = 0,
+                     csr_tiling=None,
                      ) -> Tuple[Dict[str, GraphDataLoader], dict]:
     """Reads graph npz files per split into loaders + the dataset config.json.
 
@@ -106,12 +107,14 @@ def get_data_loaders(splits: List[str], root: str, batch_size: int,
                 for ss in all_samples.values())
     e_max = max(max((g.num_edges for g in ss), default=1)
                 for ss in all_samples.values())
-    n_bucket = _round_up(n_max, 64)
-    e_bucket = _round_up(e_max, 64)
+    align = max(64, csr_tiling[0]) if csr_tiling else 64
+    n_bucket = _round_up(n_max, align)
+    e_bucket = _round_up(e_max, align)
     for split, samples in all_samples.items():
         loaders[split] = GraphDataLoader(
             samples, batch_size, shuffle and split == "train", bg_index,
-            seed=seed, max_nodes=n_bucket, max_edges=e_bucket)
+            seed=seed, max_nodes=n_bucket, max_edges=e_bucket,
+            csr_tiling=csr_tiling)
 
     config_path = os.path.join(root, "config.json")
     dataset_config = {}

@@ -28,7 +28,7 @@ from radargnn_tpu.ops.segment import (
 # loader's csr_tiling argument); env-overridable for tuning
 import os as _os
 
-FUSED_NODE_BLOCK = int(_os.environ.get("RADARGNN_FUSED_NODE_BLOCK", 128))
+FUSED_NODE_BLOCK = int(_os.environ.get("RADARGNN_FUSED_NODE_BLOCK", 256))
 FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 256))
 
 
