@@ -45,6 +45,8 @@ def main():
     parser.add_argument("--dtype", type=str, default="bfloat16")
     parser.add_argument("--full-arch", action="store_true",
                         help="flagship conv stack [224,224,128,64,32]")
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fused Pallas aggregation path")
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
@@ -71,7 +73,7 @@ def main():
         node_feature_embedding_layer_dimensions=node_emb,
         edge_feature_embedding_layer_dimensions=edge_emb,
         batch_norm_in_mlps=False, compute_dtype=args.dtype,
-        assume_sorted_edges=True)
+        assume_sorted_edges=True, use_fused_aggregation=args.fused)
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=2e-3, epochs=args.epochs,
         batch_size=args.batch_size, shuffle=True, bg_index=5,
@@ -80,9 +82,17 @@ def main():
         adapt_orientation_angle=True, scan_steps_per_dispatch=4)
 
     key = set_seeds(tcfg.seed)
+    csr_tiling = None
+    if args.fused:
+        from radargnn_tpu.models.layers import (
+            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+        )
+        csr_tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
     loaders = {
-        "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1),
-        "validate": GraphDataLoader(val_s, args.batch_size, False, 5, seed=1),
+        "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1,
+                                 csr_tiling=csr_tiling),
+        "validate": GraphDataLoader(val_s, args.batch_size, False, 5, seed=1,
+                                    csr_tiling=csr_tiling),
     }
     # share buckets
     n_bucket = max(loaders["train"].max_nodes, loaders["validate"].max_nodes)
@@ -90,7 +100,8 @@ def main():
     for ld in loaders.values():
         ld.max_nodes, ld.max_edges = n_bucket, e_bucket
 
-    example = stack_samples(train_s[:args.batch_size], n_bucket, 5, e_bucket)
+    example = stack_samples(train_s[:args.batch_size], n_bucket, 5, e_bucket,
+                            csr_tiling=csr_tiling)
     model, variables = create_detnet_state(arch, key, example)
     trainer = Trainer(tcfg, model, variables)
     trainer.fit(loaders, verbose=False)
