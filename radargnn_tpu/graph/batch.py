@@ -44,10 +44,17 @@ class GraphBatch:
     vel: jnp.ndarray              # [G, N, 2] float
 
     # optional CSR tiling for the fused Pallas aggregation (see
-    # ops.pallas_kernels.prepare_csr_tiles); None when not prepared
+    # ops.pallas_kernels.prepare_csr_tiles); None when not prepared.
+    # The permutation is applied ON THE HOST: tiled_senders/tiled_edge_feat
+    # are the edge arrays already in tile order, so the model never gathers
+    # (or scatter-adds, in backward) edge data through the permutation —
+    # profiling showed those five per-layer [E, De] scatters were 48% of
+    # the train step (docs/RESULTS.md).
     tiled_perm: Optional[jnp.ndarray] = None        # [G, E_t] int32
     tiled_receivers: Optional[jnp.ndarray] = None   # [G, E_t] int32, -1 pad
     tile_blocks: Optional[jnp.ndarray] = None       # [G, T] int32 (local)
+    tiled_senders: Optional[jnp.ndarray] = None     # [G, E_t] int32 (local)
+    tiled_edge_feat: Optional[jnp.ndarray] = None   # [G, E_t, De] float
 
     @property
     def num_graphs(self) -> int:
@@ -80,24 +87,26 @@ class GraphBatch:
         return self.edge_feat.reshape(-1, self.edge_feat.shape[-1])
 
     def flat_tiling(self, node_block: int):
-        """Global flat (perm, receivers, tile_blocks) or None if unprepared.
+        """Global flat (senders, receivers, tile_blocks, edge_feat) in tile
+        order, or None if unprepared.
 
         Per-graph tilings concatenate exactly because max_nodes is a multiple
         of node_block: global block id = g·(N/node_block) + local block id.
         """
-        if self.tiled_perm is None:
+        if self.tiled_senders is None:
             return None
-        g, et = self.tiled_perm.shape
+        g, et = self.tiled_senders.shape
         n = self.max_nodes
         assert n % node_block == 0, "max_nodes must align to node_block"
-        e_off = (jnp.arange(g, dtype=jnp.int32) * self.max_edges)[:, None]
         n_off = (jnp.arange(g, dtype=jnp.int32) * n)[:, None]
         b_off = (jnp.arange(g, dtype=jnp.int32) * (n // node_block))[:, None]
-        perm = (self.tiled_perm + e_off).reshape(-1)
+        senders = (self.tiled_senders + n_off).reshape(-1)
         recv = jnp.where(self.tiled_receivers >= 0,
                          self.tiled_receivers + n_off, -1).reshape(-1)
         blocks = (self.tile_blocks + b_off).reshape(-1)
-        return perm, recv, blocks
+        edge_feat = self.tiled_edge_feat.reshape(
+            -1, self.tiled_edge_feat.shape[-1])
+        return senders, recv, blocks, edge_feat
 
     def num_valid_nodes(self) -> jnp.ndarray:
         return jnp.sum(self.node_mask)
@@ -207,7 +216,9 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
             receivers, edge_mask, max_nodes, node_block, edge_tile,
             total_tiles)
         out.update(tiled_perm=perm, tiled_receivers=padded_recv,
-                   tile_blocks=tile_blocks)
+                   tile_blocks=tile_blocks,
+                   tiled_senders=senders[perm],
+                   tiled_edge_feat=out["edge_feat"][perm])
     return out
 
 

@@ -49,18 +49,40 @@ class DetNet(nn.Module):
             x = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                     name="node_emb_mlp")(x, node_mask, train)
 
-        if cfg.initial_edge_feature_embedding:
-            dims = list(cfg.edge_feature_embedding_layer_dimensions)
-            e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
-                    name="edge_emb_mlp")(e, edge_mask, train)
-
         # note: routing the sender-gather backward through a pre-sorted
         # segment-sum (ops.gather_with_sorted_backward) measured ~4% SLOWER
         # end-to-end than XLA's unsorted scatter-add — the per-step argsort
         # costs more than the sorted scatter saves (docs/RESULTS.md).
         sender_csr = None
-        if not getattr(cfg, "use_fused_aggregation", False):
+        if not getattr(cfg, "use_fused_aggregation", False) \
+                or cfg.conv_layer_type != "MPNNConv" \
+                or cfg.conv_pre_mlp_layer_number != 1 \
+                or cfg.aggregation_function != "max":
+            # the fused kernels implement the single-linear-pre-MLP max
+            # aggregation only; other configurations take the XLA path
             tiling = None
+
+        if tiling is not None:
+            # Fused path: the loader delivers edge data pre-permuted into
+            # CSR-tile order (batch.flat_tiling), so the embedding MLP runs
+            # directly in that layout and NO per-layer edge permutation
+            # gather/scatter ever appears in the step (it was 48% of the
+            # profile, docs/RESULTS.md).
+            senders_t, recv_t, blocks_t, e_t = tiling
+            edge_mask_t = recv_t >= 0
+            if cfg.initial_edge_feature_embedding:
+                dims = list(cfg.edge_feature_embedding_layer_dimensions)
+                e_t = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
+                          name="edge_emb_mlp")(e_t, edge_mask_t, train)
+            tiling = (senders_t, recv_t, blocks_t, e_t)
+            # layers size their pre-MLP from edge_attr's width; in fused
+            # mode the tiled embedded features are the edge features
+            e = e_t
+            edge_mask = edge_mask_t
+        elif cfg.initial_edge_feature_embedding:
+            dims = list(cfg.edge_feature_embedding_layer_dimensions)
+            e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
+                    name="edge_emb_mlp")(e, edge_mask, train)
 
         for i, layer_dim in enumerate(cfg.conv_layer_dimensions):
             if cfg.conv_layer_type == "MPNNConv":

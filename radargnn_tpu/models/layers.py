@@ -70,8 +70,12 @@ class MPNNConv(_AggregationMixin, nn.Module):
         in_channels = x.shape[-1]
 
         if self.use_edge_encoder:
-            edge_attr = TorchLinear(in_channels, dtype=self.dtype,
-                                    name="edge_encoder")(edge_attr)
+            encoder = TorchLinear(in_channels, dtype=self.dtype,
+                                  name="edge_encoder")
+            edge_attr = encoder(edge_attr)
+            if tiling is not None:
+                senders_t, recv_t, blocks_t, e_t = tiling
+                tiling = (senders_t, recv_t, blocks_t, encoder(e_t))
             pre_mlp_dim = 3 * in_channels
         else:
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
@@ -95,16 +99,19 @@ class MPNNConv(_AggregationMixin, nn.Module):
 
             y_r = mm(x, w_r)
             if tiling is not None:
-                # fused Pallas path: operand never materializes in HBM
+                # fused Pallas path: edge data arrives pre-permuted into
+                # tile order by the loader (batch.flat_tiling) — the message
+                # operand never materializes in HBM, the E-wide gather runs
+                # at node width, and the backward scatter-add at node-width
+                # bf16 (ops.pallas_kernels.make_fused_hoisted_aggregate_v2)
                 from radargnn_tpu.ops.pallas_kernels import (
-                    make_fused_hoisted_aggregate_pallas_bwd,
+                    make_fused_hoisted_aggregate_v2,
                 )
-                perm_t, recv_t, blocks_t = tiling
-                fused = make_fused_hoisted_aggregate_pallas_bwd(
+                senders_t, recv_t, blocks_t, e_t = tiling
+                fused = make_fused_hoisted_aggregate_v2(
                     num_nodes, FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
-                aggr = fused(mm(x, w_s), edge_attr[perm_t],
-                             kernel[2 * d:].astype(jnp.float32), jnp.zeros_like(bias),
-                             senders[perm_t], recv_t, blocks_t, y_r + bias)
+                aggr = fused(x, w_s, e_t, w_e.astype(jnp.float32),
+                             senders_t, recv_t, blocks_t, y_r + bias)
             else:
                 y_s = mm(x, w_s).astype(cd)
                 y_e = mm(edge_attr, w_e).astype(cd)

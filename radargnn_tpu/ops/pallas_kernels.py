@@ -440,6 +440,281 @@ def make_fused_hoisted_aggregate(num_nodes: int, node_block: int = 128,
     return fused
 
 
+# ---------------------------------------------------------------------------
+# fused hoisted aggregation v2 (profile-guided redesign)
+#
+# Changes vs make_fused_hoisted_aggregate_pallas_bwd (docs/RESULTS.md):
+#   * the sender projection x@W_s moves INSIDE the kernels — the E-wide
+#     gather shrinks from message width H (464) to node width d_in (224),
+#     and the backward scatter-add shrinks from [E, H] f32 to [E, d_in]
+#     bf16 (4.1x less HBM traffic on the step's hottest op),
+#   * dW_s accumulates in-kernel as x_gᵀ @ d_op (no d_y_s materialization),
+#   * forward segment max runs a ONE-directional segmented cummax
+#     (Hillis–Steele log-roll; receivers sorted within a tile) and lands
+#     rows via the last-slot one-hot matmul — half the VPU passes of the
+#     bidirectional variant.
+# ---------------------------------------------------------------------------
+
+def _fused_fwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
+                         recv_ref, o_ref, *, node_block: int, edge_tile: int):
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+    is_first_tile_of_block = jnp.logical_or(
+        t == 0, tile_blocks_ref[jnp.maximum(t - 1, 0)] != blk)
+
+    @pl.when(is_first_tile_of_block)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, _NEG)
+
+    m = jnp.dot(xg_ref[:], ws_ref[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
+
+    local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)    # [1, TE]
+
+    # one-directional segmented inclusive cummax: receivers are sorted
+    # within the tile, so equality-gated forward log-rolls leave the LAST
+    # slot of every segment run holding the run's max. Circular wraparound
+    # is self-correct: sortedness makes a wrapped id match only when the
+    # whole tile is one segment, where merging is harmless.
+    r = m
+    shift = 1
+    while shift < edge_tile:
+        l_roll = pltpu.roll(local2d, shift, axis=1)
+        match_col = jnp.transpose(
+            (l_roll == local2d).astype(jnp.float32))           # [TE, 1]
+        r_roll = pltpu.roll(r, shift, axis=0)
+        r = r + (jnp.maximum(r, r_roll) - r) * match_col
+        shift *= 2
+
+    # land each segment's last slot with a one-hot MXU matmul
+    nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)           # local[i+1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
+    is_last = jnp.logical_or(local2d != nxt,
+                             col == edge_tile - 1).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32) * is_last                      # [TN, TE]
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)  # [TN, H]
+    has = jnp.sum(eq, axis=1, keepdims=True)                   # 0 or 1
+    out_tile = sums + (has - 1.0) * (-_NEG)
+    o_ref[:] = jnp.maximum(o_ref[:], out_tile)
+
+
+def _fused_fwd_call_v2(x_g, w_s, e_t, w_e, padded_receivers, tile_blocks,
+                       num_nodes, node_block, edge_tile, interpret):
+    e_pad, d_in = x_g.shape
+    h = w_s.shape[1]
+    de = e_t.shape[1]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, d_in), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile, de), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, edge_tile), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel_v2, node_block=node_block,
+                          edge_tile=edge_tile),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, x_g, w_s, e_t, w_e,
+      padded_receivers.astype(jnp.int32).reshape(t, edge_tile))
+    return out[:num_nodes]
+
+
+def _fused_bwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
+                         recv_ref, inner_ref, g_ref,
+                         dxg_ref, de_ref, dws_ref, dwe_ref,
+                         *, node_block: int, edge_tile: int):
+    """Backward of v2 under the same CSR tiling: recompute the operand,
+    route upstream grads to edges at their segment max via one-hot MXU
+    matmuls, and emit the SENDER-width gradient d_xg = d_op @ W_sᵀ (bf16)
+    plus in-kernel W_s / W_e gradient accumulators — d_op never reaches HBM.
+    """
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        dws_ref[:] = jnp.zeros_like(dws_ref)
+        dwe_ref[:] = jnp.zeros_like(dwe_ref)
+
+    operand = jnp.dot(xg_ref[:], ws_ref[:],
+                      preferred_element_type=jnp.float32) \
+        + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
+
+    local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block      # [1, TE]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32)                                # [TN, TE]
+
+    inner_at_e = jnp.dot(eq.T, inner_ref[:],
+                         preferred_element_type=jnp.float32)   # [TE, H]
+    g_at_e = jnp.dot(eq.T, g_ref[:],
+                     preferred_element_type=jnp.float32)       # [TE, H]
+    has_recv = jnp.sum(eq, axis=0)[:, None]                    # [TE, 1]
+    sel = (jnp.abs(operand - inner_at_e)
+           <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
+    d_op = sel * has_recv * g_at_e                             # [TE, H]
+
+    d_op_c = d_op.astype(dxg_ref.dtype)
+    dxg_ref[:] = jnp.dot(d_op_c, ws_ref[:].T,
+                         preferred_element_type=jnp.float32
+                         ).astype(dxg_ref.dtype)
+    de_ref[:] = jnp.dot(d_op, we_ref[:].T,
+                        preferred_element_type=jnp.float32)
+    dws_ref[:] += jnp.dot(xg_ref[:].T, d_op_c,
+                          preferred_element_type=jnp.float32)
+    dwe_ref[:] += jnp.dot(e_ref[:].T, d_op,
+                          preferred_element_type=jnp.float32)
+
+
+def _fused_bwd_call_v2(x_g, w_s, e_t, w_e, padded_receivers, tile_blocks,
+                       inner, g, num_nodes, node_block, edge_tile, interpret,
+                       grad_dtype):
+    e_pad, d_in = x_g.shape
+    h = w_s.shape[1]
+    de = e_t.shape[1]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+    inner_p = jnp.pad(inner, ((0, nb_pad - num_nodes), (0, 0)))
+    g_p = jnp.pad(g, ((0, nb_pad - num_nodes), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, d_in), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile, de), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, edge_tile), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((node_block, h), lambda i, tb: (tb[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((edge_tile, d_in), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((edge_tile, de), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((de, h), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    d_xg, d_e, d_ws, d_we = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel_v2, node_block=node_block,
+                          edge_tile=edge_tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, d_in), grad_dtype),
+            jax.ShapeDtypeStruct((e_pad, de), jnp.float32),
+            jax.ShapeDtypeStruct((d_in, h), jnp.float32),
+            jax.ShapeDtypeStruct((de, h), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, x_g, w_s, e_t, w_e,
+      padded_receivers.astype(jnp.int32).reshape(t, edge_tile),
+      inner_p, g_p)
+    return d_xg, d_e, d_ws, d_we
+
+
+def make_fused_hoisted_aggregate_v2(num_nodes: int, node_block: int = 256,
+                                    edge_tile: int = 256,
+                                    interpret: Optional[bool] = None):
+    """Fused hoisted max-aggregation, sender projection inside the kernels.
+
+    fused(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset):
+      inner[n] = max over tiled edges with receiver n of
+                 (x[senders_t] @ w_s + e_t @ w_e)
+      out[n]   = offset[n] + inner[n] for non-empty n, else 0.
+
+    The E-wide gather runs at node width d_in (bf16) and the backward
+    scatter-add at d_in bf16 — the two ops that dominate the train step.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
+
+    def _prep(x, w_s, e_t, w_e, senders_t):
+        x_g = x.astype(gather_dtype)[senders_t]
+        return (x_g, w_s.astype(gather_dtype), e_t,
+                w_e.astype(jnp.float32))
+
+    @jax.custom_vjp
+    def fused(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset):
+        x_g, ws_c, e_c, we_c = _prep(x, w_s, e_t, w_e, senders_t)
+        inner = _fused_fwd_call_v2(
+            x_g, ws_c, e_c, we_c, padded_recv, tile_blocks,
+            num_nodes, node_block, edge_tile, interpret)
+        has = inner > _NEG / 2
+        return jnp.where(has, offset + inner, 0.0)
+
+    def fwd(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset):
+        x_g, ws_c, e_c, we_c = _prep(x, w_s, e_t, w_e, senders_t)
+        inner = _fused_fwd_call_v2(
+            x_g, ws_c, e_c, we_c, padded_recv, tile_blocks,
+            num_nodes, node_block, edge_tile, interpret)
+        has = inner > _NEG / 2
+        out = jnp.where(has, offset + inner, 0.0)
+        return out, (x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks,
+                     inner, has)
+
+    def bwd(res, g):
+        (x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, inner,
+         has) = res
+        g_pass = jnp.where(has, g, 0.0)
+        inner_z = jnp.where(has, inner, 0.0)
+        x_g, ws_c, e_c, we_c = _prep(x, w_s, e_t, w_e, senders_t)
+        d_xg, d_e, d_ws, d_we = _fused_bwd_call_v2(
+            x_g, ws_c, e_c, we_c, padded_recv, tile_blocks, inner_z, g_pass,
+            num_nodes, node_block, edge_tile, interpret, gather_dtype)
+        d_x = jax.ops.segment_sum(d_xg.astype(jnp.float32), senders_t,
+                                  num_segments=x.shape[0])
+        return d_x, d_ws, d_e, d_we, None, None, None, g_pass
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def fused_hoisted_aggregate_v2_reference(x, w_s, e_t, w_e, senders_t,
+                                         padded_recv, offset, num_nodes):
+    """jnp reference with identical semantics for testing."""
+    mask = padded_recv >= 0
+    recv_c = jnp.where(mask, padded_recv, 0)
+    operand = x[senders_t] @ w_s + e_t @ w_e
+    from radargnn_tpu.ops.segment import segment_count
+
+    filled = jnp.where(mask[:, None], operand, -jnp.inf)
+    inner = jax.ops.segment_max(filled, recv_c, num_segments=num_nodes)
+    # padding slots all carry receiver 0 when clamped; subtract their count
+    has = segment_count(recv_c, num_nodes, mask) > 0
+    return jnp.where(has[:, None], offset + inner, 0.0)
+
+
 def _hoisted_bwd_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
                         recv_ref, inner_ref, g_ref, dop_ref, de_ref, dw_ref,
                         *, node_block: int, edge_tile: int):

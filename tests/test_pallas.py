@@ -286,3 +286,69 @@ def test_fused_hoisted_aggregate_pallas_bwd_matches():
     # dummy slots map to edge 0 with zero cotangent, so scatter matches
     np.testing.assert_allclose(ge_p_scattered, np.asarray(ge_x),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_fused_hoisted_aggregate_v2_matches():
+    """v2 (sender projection in-kernel, one-directional scan, bf16 d_xg):
+    forward and all gradients match the XLA formulation."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate_v2, prepare_csr_tiles,
+    )
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    rng = np.random.default_rng(13)
+    n, e, d_in, de, h = 96, 500, 24, 8, 32
+    node_block, edge_tile = 32, 32
+
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    w_s = rng.normal(size=(d_in, h)).astype(np.float32) * 0.3
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.3
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(
+        receivers, mask, n, node_block, edge_tile)
+    senders_t = senders[perm]
+    e_t = e_feat[perm]
+
+    fused = make_fused_hoisted_aggregate_v2(n, node_block, edge_tile)
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_):
+        return fused(x_, w_s_, e_t_, w_e_, jnp.asarray(senders_t),
+                     jnp.asarray(padded_recv), jnp.asarray(tile_blocks),
+                     offset_)
+
+    def f_xla(x_, w_s_, e_feat_, w_e_, offset_):
+        operand = (x_ @ w_s_)[jnp.asarray(senders)] + e_feat_ @ w_e_
+        return hoisted_segment_max(operand, jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False, offset_)
+
+    args_p = tuple(map(jnp.asarray, (x, w_s, e_t, w_e, offset)))
+    args_x = tuple(map(jnp.asarray, (x, w_s, e_feat, w_e, offset)))
+
+    out_p = f_pallas(*args_p)
+    out_x = f_xla(*args_x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+    g_p = jax.grad(lambda *a: (f_pallas(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *a: (f_xla(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, a, bb_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+    ge_p = jax.grad(lambda et: (f_pallas(args_p[0], args_p[1], et,
+                                         *args_p[3:]) ** 2).sum())(args_p[2])
+    ge_x = jax.grad(lambda ef: (f_xla(args_x[0], args_x[1], ef,
+                                      *args_x[3:]) ** 2).sum())(args_x[2])
+    ge_p_scattered = np.zeros_like(e_feat)
+    np.add.at(ge_p_scattered, perm, np.asarray(ge_p))
+    np.testing.assert_allclose(ge_p_scattered, np.asarray(ge_x),
+                               rtol=2e-3, atol=2e-3)
