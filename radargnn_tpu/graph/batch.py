@@ -56,6 +56,14 @@ class GraphBatch:
     tiled_senders: Optional[jnp.ndarray] = None     # [G, E_t] int32 (local)
     tiled_edge_feat: Optional[jnp.ndarray] = None   # [G, E_t, De] float
 
+    # sender-sorted CSR tiling for the backward gather transpose
+    # (pallas_segment_sum_csr): permutation FROM receiver-tile slots into
+    # sender-sorted tile order, the sender id per slot (-1 pad), and the
+    # node block per tile.
+    ssum_perm: Optional[jnp.ndarray] = None         # [G, E_s] int32
+    ssum_senders: Optional[jnp.ndarray] = None      # [G, E_s] int32, -1 pad
+    ssum_blocks: Optional[jnp.ndarray] = None       # [G, T_s] int32 (local)
+
     @property
     def num_graphs(self) -> int:
         return self.node_feat.shape[0]
@@ -87,8 +95,9 @@ class GraphBatch:
         return self.edge_feat.reshape(-1, self.edge_feat.shape[-1])
 
     def flat_tiling(self, node_block: int):
-        """Global flat (senders, receivers, tile_blocks, edge_feat) in tile
-        order, or None if unprepared.
+        """Global flat (senders, receivers, tile_blocks, edge_feat, ssum) in
+        tile order, or None if unprepared. `ssum` is the global sender-sorted
+        backward tiling (perm, senders, blocks) or None.
 
         Per-graph tilings concatenate exactly because max_nodes is a multiple
         of node_block: global block id = g·(N/node_block) + local block id.
@@ -106,7 +115,15 @@ class GraphBatch:
         blocks = (self.tile_blocks + b_off).reshape(-1)
         edge_feat = self.tiled_edge_feat.reshape(
             -1, self.tiled_edge_feat.shape[-1])
-        return senders, recv, blocks, edge_feat
+        ssum = None
+        if self.ssum_perm is not None:
+            e_off = (jnp.arange(g, dtype=jnp.int32) * et)[:, None]
+            s_perm = (self.ssum_perm + e_off).reshape(-1)
+            s_send = jnp.where(self.ssum_senders >= 0,
+                               self.ssum_senders + n_off, -1).reshape(-1)
+            s_blocks = (self.ssum_blocks + b_off).reshape(-1)
+            ssum = (s_perm, s_send, s_blocks)
+        return senders, recv, blocks, edge_feat, ssum
 
     def num_valid_nodes(self) -> jnp.ndarray:
         return jnp.sum(self.node_mask)
@@ -215,10 +232,19 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         perm, tile_blocks, padded_recv = prepare_csr_tiles(
             receivers, edge_mask, max_nodes, node_block, edge_tile,
             total_tiles)
+        tiled_senders = senders[perm]
+        # second tiling pass, sorted by SENDER: drives the backward gather
+        # transpose (pallas_segment_sum_csr). Slots index into the
+        # receiver-tile-ordered edge arrays above.
+        s_perm, s_blocks, s_padded = prepare_csr_tiles(
+            tiled_senders, padded_recv >= 0, max_nodes, node_block,
+            edge_tile, total_tiles)
         out.update(tiled_perm=perm, tiled_receivers=padded_recv,
                    tile_blocks=tile_blocks,
-                   tiled_senders=senders[perm],
-                   tiled_edge_feat=out["edge_feat"][perm])
+                   tiled_senders=tiled_senders,
+                   tiled_edge_feat=out["edge_feat"][perm],
+                   ssum_perm=s_perm, ssum_senders=s_padded,
+                   ssum_blocks=s_blocks)
     return out
 
 

@@ -68,13 +68,13 @@ class DetNet(nn.Module):
             # directly in that layout and NO per-layer edge permutation
             # gather/scatter ever appears in the step (it was 48% of the
             # profile, docs/RESULTS.md).
-            senders_t, recv_t, blocks_t, e_t = tiling
+            senders_t, recv_t, blocks_t, e_t, ssum = tiling
             edge_mask_t = recv_t >= 0
             if cfg.initial_edge_feature_embedding:
                 dims = list(cfg.edge_feature_embedding_layer_dimensions)
                 e_t = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                           name="edge_emb_mlp")(e_t, edge_mask_t, train)
-            tiling = (senders_t, recv_t, blocks_t, e_t)
+            tiling = (senders_t, recv_t, blocks_t, e_t, ssum)
             # layers size their pre-MLP from edge_attr's width; in fused
             # mode the tiled embedded features are the edge features
             e = e_t

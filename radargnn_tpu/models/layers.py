@@ -74,8 +74,8 @@ class MPNNConv(_AggregationMixin, nn.Module):
                                   name="edge_encoder")
             edge_attr = encoder(edge_attr)
             if tiling is not None:
-                senders_t, recv_t, blocks_t, e_t = tiling
-                tiling = (senders_t, recv_t, blocks_t, encoder(e_t))
+                senders_t, recv_t, blocks_t, e_t, ssum = tiling
+                tiling = (senders_t, recv_t, blocks_t, encoder(e_t), ssum)
             pre_mlp_dim = 3 * in_channels
         else:
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
@@ -107,11 +107,14 @@ class MPNNConv(_AggregationMixin, nn.Module):
                 from radargnn_tpu.ops.pallas_kernels import (
                     make_fused_hoisted_aggregate_v2,
                 )
-                senders_t, recv_t, blocks_t, e_t = tiling
+                senders_t, recv_t, blocks_t, e_t, ssum = tiling
+                s_perm, s_send, s_blocks = ssum if ssum is not None \
+                    else (None, None, None)
                 fused = make_fused_hoisted_aggregate_v2(
                     num_nodes, FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
                 aggr = fused(x, w_s, e_t, w_e.astype(jnp.float32),
-                             senders_t, recv_t, blocks_t, y_r + bias)
+                             senders_t, recv_t, blocks_t, y_r + bias,
+                             s_perm, s_send, s_blocks)
             else:
                 y_s = mm(x, w_s).astype(cd)
                 y_e = mm(edge_attr, w_e).astype(cd)

@@ -156,6 +156,30 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
             padded_recv.astype(np.int32))
 
 
+def tile_roll_passes(padded_seg: np.ndarray, edge_tile: int) -> np.ndarray:
+    """Per-tile log-roll pass count for the segmented cummax kernels.
+
+    For each edge tile of the CSR layout (prepare_csr_tiles output), returns
+    ceil(log2(longest run of equal non-negative segment ids)) — the number
+    of equality-gated rolls needed for the in-tile inclusive cummax to cover
+    every run. Runs that wrap tile boundaries need no extra passes (the
+    output block max-combines partial landings across tiles).
+    """
+    v = np.asarray(padded_seg).reshape(-1, edge_tile)
+    t = v.shape[0]
+    valid = v >= 0
+    change = np.ones_like(v, dtype=bool)
+    change[:, 1:] = v[:, 1:] != v[:, :-1]
+    run_id = np.cumsum(change, axis=1)          # 1..edge_tile per row
+    ids = np.arange(t)[:, None] * (edge_tile + 1) + run_id
+    ids = np.where(valid, ids, 0)               # invalid slots -> global 0
+    counts = np.bincount(ids.ravel(), minlength=t * (edge_tile + 1))
+    counts = counts[: t * (edge_tile + 1)].reshape(t, edge_tile + 1)
+    counts[:, 0] = 0                            # bucket 0 held invalid slots
+    max_run = counts.max(axis=1)
+    return np.ceil(np.log2(np.maximum(max_run, 1))).astype(np.int32)
+
+
 def _msg_segmax_scan_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref,
                             recv_ref, o_ref, *, node_block: int,
                             edge_tile: int):
@@ -441,6 +465,86 @@ def make_fused_hoisted_aggregate(num_nodes: int, node_block: int = 128,
 
 
 # ---------------------------------------------------------------------------
+# CSR-tiled segment sum (one-hot MXU landing)
+#
+# Replaces XLA's scatter-add for the backward gather transpose
+# d_x[n] = sum over edges e with sender n of d_xg[e]. Profiling showed the
+# five per-layer [E, d] f32 scatter-adds at 37% of the train step; with
+# edges pre-sorted by SENDER (a second host-side prepare_csr_tiles pass),
+# each edge tile lands into its node block with one bf16 one-hot matmul.
+# ---------------------------------------------------------------------------
+
+def _segsum_kernel(tile_blocks_ref, data_ref, seg_ref, o_ref, *,
+                   node_block: int, edge_tile: int):
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+    is_first_tile_of_block = jnp.logical_or(
+        t == 0, tile_blocks_ref[jnp.maximum(t - 1, 0)] != blk)
+
+    @pl.when(is_first_tile_of_block)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    local2d = seg_ref[pl.ds(t, 1), :] - blk * node_block       # [1, TE]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    # padding slots carry segment -1 → negative local id → match no row
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(data_ref.dtype)                             # [TN, TE]
+    o_ref[:] += jnp.dot(eq, data_ref[:],
+                        preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_nodes", "node_block", "edge_tile",
+                                    "interpret"))
+def pallas_segment_sum_csr(data: jnp.ndarray, padded_seg: jnp.ndarray,
+                           tile_blocks: jnp.ndarray, num_nodes: int,
+                           node_block: int = 256, edge_tile: int = 256,
+                           interpret: Optional[bool] = None) -> jnp.ndarray:
+    """out[n] = sum of data rows whose segment id is n (f32).
+
+    `data` must be pre-permuted into segment-sorted CSR-tile order
+    (prepare_csr_tiles on the segment ids); `padded_seg` carries -1 for
+    padding slots. bf16 data rides the MXU at full rate; accumulation is f32.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    e_pad, d = data.shape
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((edge_tile, d), lambda i, tb: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, edge_tile), lambda i, tb: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((node_block, d), lambda i, tb: (tb[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_segsum_kernel, node_block=node_block,
+                          edge_tile=edge_tile),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, d), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, data,
+      padded_seg.astype(jnp.int32).reshape(t, edge_tile))
+    return out[:num_nodes]
+
+
+def pallas_segment_sum_csr_reference(data, padded_seg, num_nodes):
+    """jnp reference: masked segment sum over the padded CSR layout."""
+    mask = padded_seg >= 0
+    seg = jnp.where(mask, padded_seg, 0)
+    contrib = jnp.where(mask[:, None], data.astype(jnp.float32), 0.0)
+    return jax.ops.segment_sum(contrib, seg, num_segments=num_nodes)
+
+
+# ---------------------------------------------------------------------------
 # fused hoisted aggregation v2 (profile-guided redesign)
 #
 # Changes vs make_fused_hoisted_aggregate_pallas_bwd (docs/RESULTS.md):
@@ -476,6 +580,9 @@ def _fused_fwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
     # slot of every segment run holding the run's max. Circular wraparound
     # is self-correct: sortedness makes a wrapped id match only when the
     # whole tile is one segment, where merging is harmless.
+    # (Measured dead ends, docs/RESULTS.md: branching later rolls off via
+    # per-tile pl.when + VMEM scratch ran 64% SLOWER — scratch roundtrips
+    # beat the saved rolls; keep the register-resident static unroll.)
     r = m
     shift = 1
     while shift < edge_tile:
@@ -562,7 +669,10 @@ def _fused_bwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
           ).astype(jnp.float32)                                # [TN, TE]
-
+    # (Measured dead end, docs/RESULTS.md: bf16-casting eq/g and an exact
+    # bf16 hi+lo split for inner ran ~15% SLOWER than these f32 one-hot
+    # matmuls — the MXU handles f32 one-hot distribution well here and the
+    # casts are pure overhead.)
     inner_at_e = jnp.dot(eq.T, inner_ref[:],
                          preferred_element_type=jnp.float32)   # [TE, H]
     g_at_e = jnp.dot(eq.T, g_ref[:],
@@ -647,13 +757,19 @@ def make_fused_hoisted_aggregate_v2(num_nodes: int, node_block: int = 256,
                                     interpret: Optional[bool] = None):
     """Fused hoisted max-aggregation, sender projection inside the kernels.
 
-    fused(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset):
+    fused(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset,
+          ssum_perm, ssum_seg, ssum_blocks):
       inner[n] = max over tiled edges with receiver n of
                  (x[senders_t] @ w_s + e_t @ w_e)
       out[n]   = offset[n] + inner[n] for non-empty n, else 0.
 
     The E-wide gather runs at node width d_in (bf16) and the backward
     scatter-add at d_in bf16 — the two ops that dominate the train step.
+    The last three args are the optional SENDER-sorted CSR tiling
+    (prepare_csr_tiles over senders_t): when given, the backward gather
+    transpose d_x = Σ_e d_xg[e] runs as a bf16 gather + one-hot MXU landing
+    (pallas_segment_sum_csr) instead of an XLA f32 scatter-add — profiled at
+    ~5x faster at flagship scale. Pass None for all three to fall back.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -665,7 +781,8 @@ def make_fused_hoisted_aggregate_v2(num_nodes: int, node_block: int = 256,
                 w_e.astype(jnp.float32))
 
     @jax.custom_vjp
-    def fused(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset):
+    def fused(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset,
+              ssum_perm, ssum_seg, ssum_blocks):
         x_g, ws_c, e_c, we_c = _prep(x, w_s, e_t, w_e, senders_t)
         inner = _fused_fwd_call_v2(
             x_g, ws_c, e_c, we_c, padded_recv, tile_blocks,
@@ -673,7 +790,8 @@ def make_fused_hoisted_aggregate_v2(num_nodes: int, node_block: int = 256,
         has = inner > _NEG / 2
         return jnp.where(has, offset + inner, 0.0)
 
-    def fwd(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset):
+    def fwd(x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, offset,
+            ssum_perm, ssum_seg, ssum_blocks):
         x_g, ws_c, e_c, we_c = _prep(x, w_s, e_t, w_e, senders_t)
         inner = _fused_fwd_call_v2(
             x_g, ws_c, e_c, we_c, padded_recv, tile_blocks,
@@ -681,20 +799,26 @@ def make_fused_hoisted_aggregate_v2(num_nodes: int, node_block: int = 256,
         has = inner > _NEG / 2
         out = jnp.where(has, offset + inner, 0.0)
         return out, (x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks,
-                     inner, has)
+                     inner, has, ssum_perm, ssum_seg, ssum_blocks)
 
     def bwd(res, g):
         (x, w_s, e_t, w_e, senders_t, padded_recv, tile_blocks, inner,
-         has) = res
+         has, ssum_perm, ssum_seg, ssum_blocks) = res
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
         x_g, ws_c, e_c, we_c = _prep(x, w_s, e_t, w_e, senders_t)
         d_xg, d_e, d_ws, d_we = _fused_bwd_call_v2(
             x_g, ws_c, e_c, we_c, padded_recv, tile_blocks, inner_z, g_pass,
             num_nodes, node_block, edge_tile, interpret, gather_dtype)
-        d_x = jax.ops.segment_sum(d_xg.astype(jnp.float32), senders_t,
-                                  num_segments=x.shape[0])
-        return d_x, d_ws, d_e, d_we, None, None, None, g_pass
+        if ssum_perm is None:
+            d_x = jax.ops.segment_sum(d_xg.astype(jnp.float32), senders_t,
+                                      num_segments=x.shape[0])
+        else:
+            d_x = pallas_segment_sum_csr(
+                d_xg[ssum_perm], ssum_seg, ssum_blocks, x.shape[0],
+                node_block, edge_tile, interpret)
+        return (d_x, d_ws, d_e, d_we, None, None, None, g_pass,
+                None, None, None)
 
     fused.defvjp(fwd, bwd)
     return fused

@@ -288,13 +288,15 @@ def test_fused_hoisted_aggregate_pallas_bwd_matches():
                                rtol=2e-3, atol=2e-3)
 
 
-def test_fused_hoisted_aggregate_v2_matches():
+@pytest.mark.parametrize("use_ssum", [False, True])
+def test_fused_hoisted_aggregate_v2_matches(use_ssum):
     """v2 (sender projection in-kernel, one-directional scan, bf16 d_xg):
-    forward and all gradients match the XLA formulation."""
+    forward and all gradients match the XLA formulation — with and without
+    the sender-sorted Pallas segment-sum backward."""
     import jax
 
     from radargnn_tpu.ops.pallas_kernels import (
-        make_fused_hoisted_aggregate_v2, prepare_csr_tiles,
+        make_fused_hoisted_aggregate_v2, prepare_csr_tiles, tile_roll_passes,
     )
     from radargnn_tpu.ops.segment import hoisted_segment_max
 
@@ -315,13 +317,19 @@ def test_fused_hoisted_aggregate_v2_matches():
         receivers, mask, n, node_block, edge_tile)
     senders_t = senders[perm]
     e_t = e_feat[perm]
+    if use_ssum:
+        s_perm, s_blocks, s_padded = prepare_csr_tiles(
+            senders_t, padded_recv >= 0, n, node_block, edge_tile)
+        ssum = tuple(map(jnp.asarray, (s_perm, s_padded, s_blocks)))
+    else:
+        ssum = (None, None, None)
 
     fused = make_fused_hoisted_aggregate_v2(n, node_block, edge_tile)
 
     def f_pallas(x_, w_s_, e_t_, w_e_, offset_):
         return fused(x_, w_s_, e_t_, w_e_, jnp.asarray(senders_t),
                      jnp.asarray(padded_recv), jnp.asarray(tile_blocks),
-                     offset_)
+                     offset_, *ssum)
 
     def f_xla(x_, w_s_, e_feat_, w_e_, offset_):
         operand = (x_ @ w_s_)[jnp.asarray(senders)] + e_feat_ @ w_e_
@@ -352,3 +360,50 @@ def test_fused_hoisted_aggregate_v2_matches():
     np.add.at(ge_p_scattered, perm, np.asarray(ge_p))
     np.testing.assert_allclose(ge_p_scattered, np.asarray(ge_x),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_pallas_segment_sum_csr_matches_reference():
+    """CSR-tiled one-hot-matmul segment sum vs jax.ops.segment_sum."""
+    from radargnn_tpu.ops.pallas_kernels import (
+        pallas_segment_sum_csr, pallas_segment_sum_csr_reference,
+        prepare_csr_tiles,
+    )
+
+    rng = np.random.default_rng(17)
+    n, e, d = 96, 700, 24
+    node_block, edge_tile = 32, 32
+    data = rng.normal(size=(e, d)).astype(np.float32)
+    seg = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.85
+
+    perm, tile_blocks, padded_seg = prepare_csr_tiles(
+        seg, mask, n, node_block, edge_tile)
+    got = pallas_segment_sum_csr(
+        jnp.asarray(data[perm]), jnp.asarray(padded_seg),
+        jnp.asarray(tile_blocks), num_nodes=n, node_block=node_block,
+        edge_tile=edge_tile)
+    # reference over the ORIGINAL (unsorted) layout
+    import jax
+    expect = jax.ops.segment_sum(
+        jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(data), 0.0),
+        jnp.asarray(seg), num_segments=n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-4, atol=1e-4)
+    # and the padded-layout reference helper agrees too
+    expect2 = pallas_segment_sum_csr_reference(
+        jnp.asarray(data[perm]), jnp.asarray(padded_seg), n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tile_roll_passes():
+    from radargnn_tpu.ops.pallas_kernels import tile_roll_passes
+
+    # tile 0: runs of 3,2,3 -> max 3 -> 2 passes; tile 1: single run of 8
+    # -> 3 passes; tile 2: all padding -> 0; tile 3: all distinct -> 0
+    seg = np.array([5, 5, 5, 6, 6, 7, 7, 7,
+                    9, 9, 9, 9, 9, 9, 9, 9,
+                    -1, -1, -1, -1, -1, -1, -1, -1,
+                    1, 2, 3, 4, 5, 6, 7, -1], np.int32)
+    got = tile_roll_passes(seg, edge_tile=8)
+    np.testing.assert_array_equal(got, [2, 3, 0, 0])
