@@ -36,6 +36,10 @@ GRAPHS = int(os.environ.get("BENCH_GRAPHS", 8))
 SCAN_STEPS = int(os.environ.get("BENCH_STEPS", 32))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
+# windowed (v3) kernels: Morton node order + in-kernel windowed gathers;
+# 0 falls back to the v2 CSR tiling
+WINDOWS = os.environ.get("BENCH_WINDOWS", "1") == "1"
+OVF_FRAC = float(os.environ.get("BENCH_OVF_FRAC", "0.05"))
 
 
 def main():
@@ -82,9 +86,11 @@ def main():
     samples = make_samples(num_frames=GRAPHS, num_points=NUM_POINTS, seed=0)
     if FUSED:
         from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+            FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
         tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+        if WINDOWS:
+            tiling = tiling + (FUSED_WINDOW_BLOCKS, OVF_FRAC)
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=NUM_POINTS, bg_index=5,

@@ -47,6 +47,10 @@ def main():
                         help="flagship conv stack [224,224,128,64,32]")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused Pallas aggregation path")
+    parser.add_argument("--windows", action="store_true",
+                        help="with --fused: windowed (v3) Morton tiling")
+    parser.add_argument("--ovf-frac", type=float, default=0.05,
+                        help="overflow-edge budget fraction for --windows")
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
@@ -85,9 +89,11 @@ def main():
     csr_tiling = None
     if args.fused:
         from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+            FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
         csr_tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+        if args.windows:
+            csr_tiling = csr_tiling + (FUSED_WINDOW_BLOCKS, args.ovf_frac)
     loaders = {
         "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1,
                                  csr_tiling=csr_tiling),

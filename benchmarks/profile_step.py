@@ -67,9 +67,13 @@ def main():
                            seed=0)
     if fused:
         from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+            FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
         tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+        if os.environ.get("BENCH_WINDOWS", "1") == "1":
+            tiling = tiling + (FUSED_WINDOW_BLOCKS,
+                               float(os.environ.get("BENCH_OVF_FRAC",
+                                                    "0.05")))
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=args.points, bg_index=5,

@@ -49,6 +49,8 @@ class GraphDataLoader:
         if csr_tiling is not None:
             pad_align = max(pad_align, csr_tiling[0])
         self._rng = np.random.default_rng(seed)
+        self._pad_cache: dict = {}
+        self._empty: Optional[GraphSample] = None
 
         n_max = max(s.num_nodes for s in samples)
         e_max = max(s.num_edges for s in samples)
@@ -68,11 +70,16 @@ class GraphDataLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 break
             batch_samples = [self.samples[i] for i in idx]
-            # pad the graph count so the leading axis is static
-            while len(batch_samples) < self.batch_size:
-                batch_samples.append(_empty_like(batch_samples[0]))
+            # pad the graph count so the leading axis is static (one shared
+            # empty sample so its padded form stays in the pad cache)
+            if len(batch_samples) < self.batch_size:
+                if self._empty is None:
+                    self._empty = _empty_like(batch_samples[0])
+                while len(batch_samples) < self.batch_size:
+                    batch_samples.append(self._empty)
             yield stack_samples(batch_samples, self.max_nodes, self.bg_index,
-                                self.max_edges, csr_tiling=self.csr_tiling)
+                                self.max_edges, csr_tiling=self.csr_tiling,
+                                pad_cache=self._pad_cache)
 
 
 def _empty_like(sample: GraphSample) -> GraphSample:

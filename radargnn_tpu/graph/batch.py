@@ -21,11 +21,27 @@ sharding axis; the E axis is the edge-partitioning (model) axis.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 import jax.numpy as jnp
 from flax import struct
+
+
+class FlatTiling(NamedTuple):
+    """Flattened (global-index) CSR tiling bundle for the fused Pallas
+    aggregation paths. `ssum` drives the v2 sender-sorted backward segment
+    sum; `win` (senders_local, tile_win, part_mask, ovf_senders,
+    ovf_receivers, ovf_edge_feat) drives the v3 windowed kernels."""
+
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    blocks: jnp.ndarray
+    edge_feat: jnp.ndarray
+    ssum: Optional[tuple] = None
+    win: Optional[tuple] = None
+    node_block: int = 256
+    edge_tile: int = 256
 
 
 @struct.dataclass
@@ -64,6 +80,21 @@ class GraphBatch:
     ssum_senders: Optional[jnp.ndarray] = None      # [G, E_s] int32, -1 pad
     ssum_blocks: Optional[jnp.ndarray] = None       # [G, T_s] int32 (local)
 
+    # windowed (v3) tiling: Morton-ordered nodes, per-tile sender windows
+    # (ops.pallas_kernels.prepare_windowed_csr_tiles) + fixed-budget
+    # overflow edges for the XLA fallback path.
+    win_senders_local: Optional[jnp.ndarray] = None  # [G, E_t] int32, -1 pad
+    tile_win: Optional[jnp.ndarray] = None           # [G, T] int32 (local)
+    win_part_mask: Optional[jnp.ndarray] = None      # [G, WB, NBLK] bool
+    ovf_senders: Optional[jnp.ndarray] = None        # [G, Eo] int32 (local)
+    ovf_receivers: Optional[jnp.ndarray] = None      # [G, Eo] int32, -1 pad
+    ovf_edge_feat: Optional[jnp.ndarray] = None      # [G, Eo, De] float
+
+    # static (non-pytree) tiling geometry: (node_block, edge_tile) used by
+    # the loader; the kernels must be built with the same values
+    tile_geometry: Optional[tuple] = struct.field(pytree_node=False,
+                                                  default=None)
+
     @property
     def num_graphs(self) -> int:
         return self.node_feat.shape[0]
@@ -94,16 +125,22 @@ class GraphBatch:
     def flat_edges(self) -> jnp.ndarray:
         return self.edge_feat.reshape(-1, self.edge_feat.shape[-1])
 
-    def flat_tiling(self, node_block: int):
-        """Global flat (senders, receivers, tile_blocks, edge_feat, ssum) in
-        tile order, or None if unprepared. `ssum` is the global sender-sorted
-        backward tiling (perm, senders, blocks) or None.
+    def flat_tiling(self, node_block: Optional[int] = None) -> \
+            "Optional[FlatTiling]":
+        """Global flat CSR tiling bundle (FlatTiling) in tile order, or None
+        if unprepared. The geometry comes from the batch's own
+        `tile_geometry` (the loader's node_block/edge_tile); the argument is
+        a fallback for batches created before that field existed.
 
         Per-graph tilings concatenate exactly because max_nodes is a multiple
         of node_block: global block id = g·(N/node_block) + local block id.
         """
         if self.tiled_senders is None:
             return None
+        if self.tile_geometry is not None:
+            node_block, edge_tile = self.tile_geometry
+        else:
+            edge_tile = node_block
         g, et = self.tiled_senders.shape
         n = self.max_nodes
         assert n % node_block == 0, "max_nodes must align to node_block"
@@ -123,7 +160,25 @@ class GraphBatch:
                                self.ssum_senders + n_off, -1).reshape(-1)
             s_blocks = (self.ssum_blocks + b_off).reshape(-1)
             ssum = (s_perm, s_send, s_blocks)
-        return senders, recv, blocks, edge_feat, ssum
+        win = None
+        if self.win_senders_local is not None:
+            # senders_local are window-relative: no offset. part_mask
+            # concatenates along the (global) block axis.
+            sloc = self.win_senders_local.reshape(-1)
+            t_win = (self.tile_win + b_off).reshape(-1)
+            wb = self.win_part_mask.shape[1]
+            pmask = jnp.transpose(self.win_part_mask, (1, 0, 2)).reshape(
+                wb, -1)
+            ovf_mask = self.ovf_receivers >= 0
+            ovf_s = jnp.where(ovf_mask, self.ovf_senders + n_off,
+                              0).reshape(-1)
+            ovf_r = jnp.where(ovf_mask, self.ovf_receivers + n_off,
+                              -1).reshape(-1)
+            ovf_e = self.ovf_edge_feat.reshape(
+                -1, self.ovf_edge_feat.shape[-1])
+            win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e)
+        return FlatTiling(senders, recv, blocks, edge_feat, ssum, win,
+                          node_block, edge_tile)
 
     def num_valid_nodes(self) -> jnp.ndarray:
         return jnp.sum(self.node_mask)
@@ -169,6 +224,32 @@ class GraphSample:
                 "boxes", "pos", "vel")})
 
 
+def morton_sort_sample(sample: GraphSample) -> GraphSample:
+    """Reorders a sample's nodes along a Morton (Z-order) space-filling
+    curve of their positions and remaps edge endpoints. Message passing is
+    permutation invariant; this only improves index locality (the windowed
+    fused kernels require it)."""
+    from radargnn_tpu.ops.pallas_kernels import morton_order
+
+    perm = morton_order(sample.pos)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+    return GraphSample(
+        node_feat=sample.node_feat[perm], edge_feat=sample.edge_feat,
+        senders=inv[sample.senders].astype(sample.senders.dtype),
+        receivers=inv[sample.receivers].astype(sample.receivers.dtype),
+        labels=sample.labels[perm], boxes=sample.boxes[perm],
+        pos=sample.pos[perm], vel=sample.vel[perm])
+
+
+def overflow_budget(max_edges: int, edge_tile: int,
+                    frac: float = 0.08) -> int:
+    """Static overflow-edge budget for the windowed tiling (same for every
+    sample of a bucket so shapes stay jit-stable)."""
+    return max(edge_tile,
+               -(-int(max_edges * frac) // edge_tile) * edge_tile)
+
+
 def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
                bg_index: int, sort_edges_by_receiver: bool = True,
                csr_tiling=None) -> dict:
@@ -179,7 +260,21 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     (default) edges are stably re-ordered by receiver so segment reductions
     can take the `indices_are_sorted` fast path (message passing is
     permutation invariant, so results are unchanged).
+
+    `csr_tiling` enables the fused-aggregation layouts: (node_block,
+    edge_tile) builds the v2 receiver+sender CSR tilings; (node_block,
+    edge_tile, window_blocks) additionally Morton-orders the nodes and
+    builds the v3 windowed tiling + overflow lists.
     """
+    window_blocks = None
+    ovf_frac = 0.08
+    if csr_tiling is not None and len(csr_tiling) >= 3:
+        node_block, edge_tile, window_blocks = csr_tiling[:3]
+        if len(csr_tiling) == 4:
+            ovf_frac = csr_tiling[3]
+        csr_tiling = (node_block, edge_tile)
+        sample = morton_sort_sample(sample)
+
     n, e = sample.num_nodes, sample.num_edges
     if n > max_nodes or e > max_edges:
         raise ValueError(f"sample ({n} nodes, {e} edges) exceeds bucket "
@@ -225,7 +320,35 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         labels=labels, boxes=boxes,
         pos=pad_nodes(sample.pos), vel=pad_nodes(sample.vel),
     )
-    if csr_tiling is not None:
+    if csr_tiling is not None and window_blocks is not None:
+        from radargnn_tpu.ops.pallas_kernels import (
+            prepare_windowed_csr_tiles, window_part_mask,
+        )
+        node_block, edge_tile = csr_tiling
+        total_tiles = (max_edges + edge_tile - 1) // edge_tile             + (max_nodes + node_block - 1) // node_block
+        budget = overflow_budget(max_edges, edge_tile, ovf_frac)
+        (perm, tile_blocks, padded_recv, senders_local, tile_win,
+         ovf_idx) = prepare_windowed_csr_tiles(
+            senders, receivers, edge_mask, max_nodes, node_block, edge_tile,
+            window_blocks, total_tiles, budget)
+        nblocks = (max_nodes + node_block - 1) // node_block
+        pmask = window_part_mask(tile_win, nblocks, window_blocks)
+        ovf_valid = ovf_idx >= 0
+        ovf_c = np.maximum(ovf_idx, 0)
+        out.update(
+            tiled_perm=perm, tiled_receivers=padded_recv,
+            tile_blocks=tile_blocks, tiled_senders=senders[perm],
+            tiled_edge_feat=out["edge_feat"][perm],
+            win_senders_local=senders_local, tile_win=tile_win,
+            win_part_mask=pmask,
+            ovf_senders=np.where(ovf_valid, senders[ovf_c], 0
+                                 ).astype(np.int32),
+            ovf_receivers=np.where(ovf_valid, receivers[ovf_c], -1
+                                   ).astype(np.int32),
+            ovf_edge_feat=np.where(ovf_valid[:, None],
+                                   out["edge_feat"][ovf_c], 0.0
+                                   ).astype(np.float32))
+    elif csr_tiling is not None:
         from radargnn_tpu.ops.pallas_kernels import prepare_csr_tiles
         node_block, edge_tile = csr_tiling
         total_tiles = (max_edges + edge_tile - 1) // edge_tile             + (max_nodes + node_block - 1) // node_block
@@ -251,16 +374,31 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
 def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
                   max_edges: Optional[int] = None,
                   sort_edges_by_receiver: bool = True,
-                  csr_tiling=None) -> GraphBatch:
+                  csr_tiling=None, pad_cache: Optional[dict] = None
+                  ) -> GraphBatch:
     """Pads and stacks host samples into a device GraphBatch.
 
     With the default receiver-sorted edge layout, flat receiver indices are
     globally non-decreasing (per-graph sorted + increasing graph offsets), so
     models configured with `assume_sorted_edges` hit the sorted-scatter fast
-    path."""
+    path.
+
+    `pad_cache` (id(sample) -> padded dict) memoizes the per-sample padding
+    and CSR/windowed-tiling host work across epochs — padding is pure
+    per-sample, so reshuffled batches reuse it."""
     if max_edges is None:
         max_edges = max(s.num_edges for s in samples)
-    padded = [pad_sample(s, max_nodes, max_edges, bg_index,
-                         sort_edges_by_receiver, csr_tiling) for s in samples]
+    padded = []
+    for s in samples:
+        if pad_cache is not None and id(s) in pad_cache:
+            padded.append(pad_cache[id(s)])
+            continue
+        p = pad_sample(s, max_nodes, max_edges, bg_index,
+                       sort_edges_by_receiver, csr_tiling)
+        if pad_cache is not None:
+            pad_cache[id(s)] = p
+        padded.append(p)
     arrays = {k: np.stack([p[k] for p in padded]) for k in padded[0]}
-    return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()})
+    geometry = tuple(csr_tiling[:2]) if csr_tiling is not None else None
+    return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()},
+                      tile_geometry=geometry)

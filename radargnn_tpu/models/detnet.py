@@ -68,13 +68,21 @@ class DetNet(nn.Module):
             # directly in that layout and NO per-layer edge permutation
             # gather/scatter ever appears in the step (it was 48% of the
             # profile, docs/RESULTS.md).
-            senders_t, recv_t, blocks_t, e_t, ssum = tiling
-            edge_mask_t = recv_t >= 0
+            edge_mask_t = tiling.receivers >= 0
+            e_t = tiling.edge_feat
+            win = tiling.win
             if cfg.initial_edge_feature_embedding:
                 dims = list(cfg.edge_feature_embedding_layer_dimensions)
-                e_t = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
-                          name="edge_emb_mlp")(e_t, edge_mask_t, train)
-            tiling = (senders_t, recv_t, blocks_t, e_t, ssum)
+                emb = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
+                          name="edge_emb_mlp")
+                e_t = emb(e_t, edge_mask_t, train)
+                if win is not None:
+                    # windowed mode: overflow edge features ride the same
+                    # embedding (shared parameters, flax reuses the module)
+                    sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = win
+                    ovf_e = emb(ovf_e, ovf_r >= 0, train)
+                    win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e)
+            tiling = tiling._replace(edge_feat=e_t, win=win)
             # layers size their pre-MLP from edge_attr's width; in fused
             # mode the tiled embedded features are the edge features
             e = e_t

@@ -30,6 +30,9 @@ import os as _os
 
 FUSED_NODE_BLOCK = int(_os.environ.get("RADARGNN_FUSED_NODE_BLOCK", 256))
 FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 256))
+# sender-window width (in node blocks) for the windowed (v3) kernels; the
+# loader builds the matching tiling when given a 3-tuple csr_tiling
+FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 4))
 
 
 class _AggregationMixin:
@@ -74,8 +77,12 @@ class MPNNConv(_AggregationMixin, nn.Module):
                                   name="edge_encoder")
             edge_attr = encoder(edge_attr)
             if tiling is not None:
-                senders_t, recv_t, blocks_t, e_t, ssum = tiling
-                tiling = (senders_t, recv_t, blocks_t, encoder(e_t), ssum)
+                win = tiling.win
+                if win is not None:
+                    sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = win
+                    win = (sloc, t_win, pmask, ovf_s, ovf_r, encoder(ovf_e))
+                tiling = tiling._replace(edge_feat=encoder(tiling.edge_feat),
+                                         win=win)
             pre_mlp_dim = 3 * in_channels
         else:
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
@@ -98,23 +105,42 @@ class MPNNConv(_AggregationMixin, nn.Module):
                                preferred_element_type=jnp.float32)
 
             y_r = mm(x, w_r)
-            if tiling is not None:
-                # fused Pallas path: edge data arrives pre-permuted into
-                # tile order by the loader (batch.flat_tiling) — the message
-                # operand never materializes in HBM, the E-wide gather runs
-                # at node width, and the backward scatter-add at node-width
-                # bf16 (ops.pallas_kernels.make_fused_hoisted_aggregate_v2)
+            if tiling is not None and tiling.win is not None:
+                # windowed fused path (v3): Morton-ordered nodes put every
+                # tile's senders inside a small node window — the E-wide
+                # gather AND the backward d_x landing run as in-kernel
+                # one-hot MXU matmuls; a few percent of edges overflow to
+                # the XLA path (ops.pallas_kernels, v3 section).
+                from radargnn_tpu.ops.pallas_kernels import (
+                    make_fused_hoisted_aggregate_v3,
+                )
+                sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+                fused = make_fused_hoisted_aggregate_v3(
+                    num_nodes, tiling.node_block, tiling.edge_tile,
+                    window_blocks=pmask.shape[0])
+                aggr = fused(x, w_s, tiling.edge_feat,
+                             w_e.astype(jnp.float32), y_r + bias, ovf_e,
+                             tiling.receivers, tiling.blocks, t_win, sloc,
+                             pmask, ovf_s, ovf_r)
+            elif tiling is not None:
+                # fused Pallas path (v2): edge data arrives pre-permuted
+                # into tile order by the loader (batch.flat_tiling) — the
+                # message operand never materializes in HBM, the E-wide
+                # gather runs at node width, and the backward gather
+                # transpose uses the sender-sorted Pallas segment sum
+                # (ops.pallas_kernels.make_fused_hoisted_aggregate_v2)
                 from radargnn_tpu.ops.pallas_kernels import (
                     make_fused_hoisted_aggregate_v2,
                 )
-                senders_t, recv_t, blocks_t, e_t, ssum = tiling
+                ssum = tiling.ssum
                 s_perm, s_send, s_blocks = ssum if ssum is not None \
                     else (None, None, None)
                 fused = make_fused_hoisted_aggregate_v2(
-                    num_nodes, FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
-                aggr = fused(x, w_s, e_t, w_e.astype(jnp.float32),
-                             senders_t, recv_t, blocks_t, y_r + bias,
-                             s_perm, s_send, s_blocks)
+                    num_nodes, tiling.node_block, tiling.edge_tile)
+                aggr = fused(x, w_s, tiling.edge_feat,
+                             w_e.astype(jnp.float32),
+                             tiling.senders, tiling.receivers, tiling.blocks,
+                             y_r + bias, s_perm, s_send, s_blocks)
             else:
                 y_s = mm(x, w_s).astype(cd)
                 y_e = mm(edge_attr, w_e).astype(cd)

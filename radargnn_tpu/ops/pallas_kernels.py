@@ -180,6 +180,109 @@ def tile_roll_passes(padded_seg: np.ndarray, edge_tile: int) -> np.ndarray:
     return np.ceil(np.log2(np.maximum(max_run, 1))).astype(np.int32)
 
 
+def morton_order(pos: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Spatial (Z-order) node permutation: argsort of interleaved-bit Morton
+    codes of the 2D positions. Orders nodes so that kNN neighborhoods map to
+    short contiguous index ranges — the windowed kernels' locality source.
+    """
+    pos = np.asarray(pos, np.float64)
+    if pos.shape[0] == 0:
+        return np.zeros((0,), np.int32)
+    lo = pos.min(axis=0)
+    span = np.maximum(pos.max(axis=0) - lo, 1e-9)
+    q = ((pos - lo) / span * ((1 << bits) - 1)).astype(np.uint64)
+
+    def _part(v):
+        v = v & np.uint64(0xFFFF)
+        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return v
+
+    code = _part(q[:, 0]) | (_part(q[:, 1]) << np.uint64(1))
+    return np.argsort(code, kind="stable").astype(np.int32)
+
+
+def prepare_windowed_csr_tiles(senders: np.ndarray, receivers: np.ndarray,
+                               edge_mask: np.ndarray, num_nodes: int,
+                               node_block: int, edge_tile: int,
+                               window_blocks: int,
+                               total_tiles: Optional[int] = None,
+                               ovf_budget: Optional[int] = None):
+    """Windowed CSR tiling: per receiver block, senders are covered by a
+    window of `window_blocks` consecutive node blocks (host-chosen best
+    cover, monotone across blocks so the kernels' revisit-zeroing works).
+    Edges whose sender misses the window go to a fixed-budget overflow list
+    handled by the XLA path. With Morton-ordered nodes (morton_order) the
+    overflow is a few percent for kNN graphs.
+
+    Returns (perm, tile_blocks, padded_recv, senders_local, tile_win,
+    ovf_idx):
+      perm/tile_blocks/padded_recv — as prepare_csr_tiles, in-window edges,
+      senders_local [E_pad] — sender id minus its tile's window start
+                              (in [0, window_blocks*node_block)), -1 pads,
+      tile_win [T]           — window start block per tile (monotone),
+      ovf_idx [ovf_budget]   — original-edge indices of overflow, -1 pads.
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask)
+    num_blocks = -(-num_nodes // node_block)
+    wb = min(window_blocks, num_blocks)
+    nmax = num_blocks - wb
+
+    # per receiver block: histogram of sender blocks, best sliding window
+    r_blk = receivers // node_block
+    s_blk = senders // node_block
+    hist = np.zeros((num_blocks, num_blocks), np.int64)
+    np.add.at(hist, (r_blk[edge_mask], s_blk[edge_mask]), 1)
+    csum = np.concatenate(
+        [np.zeros((num_blocks, 1), np.int64), np.cumsum(hist, axis=1)], axis=1)
+    cover = csum[:, wb:] - csum[:, :-wb]          # [num_blocks, nmax+1]
+    w0 = np.argmax(cover, axis=1)                 # best window start/block
+    w0 = np.maximum.accumulate(np.minimum(w0, nmax))   # monotone, <= nmax
+
+    win_start = w0[r_blk] * node_block
+    in_window = edge_mask & (senders >= win_start) \
+        & (senders < win_start + wb * node_block)
+
+    if ovf_budget is None:
+        ovf_budget = max(edge_tile,
+                         -(-int(edge_mask.sum() * 0.08) // edge_tile)
+                         * edge_tile)
+    ovf = np.flatnonzero(edge_mask & ~in_window)
+    if len(ovf) > ovf_budget:
+        raise ValueError(f"window overflow {len(ovf)} exceeds budget "
+                         f"{ovf_budget}; increase window_blocks or budget")
+    ovf_idx = np.full(ovf_budget, -1, np.int64)
+    ovf_idx[:len(ovf)] = ovf
+
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(
+        receivers, in_window, num_nodes, node_block, edge_tile, total_tiles)
+    tile_win = w0[tile_blocks].astype(np.int32)
+    valid = padded_recv >= 0
+    e_win = np.repeat(tile_win, edge_tile) * node_block
+    senders_local = np.where(valid, senders[perm] - e_win, -1)
+
+    return (perm, tile_blocks, padded_recv,
+            senders_local.astype(np.int32), tile_win,
+            ovf_idx.astype(np.int32))
+
+
+def window_part_mask(tile_win: np.ndarray, num_blocks: int,
+                     window_blocks: int) -> np.ndarray:
+    """[WB, num_blocks] bool: which node blocks each backward dx part
+    writes (part j of a tile writes block tile_win+j). Blocks a part never
+    visits hold uninitialized memory and are masked out with jnp.where."""
+    mask = np.zeros((window_blocks, num_blocks), bool)
+    tw = np.unique(np.asarray(tile_win))
+    for j in range(window_blocks):
+        blocks = np.minimum(tw + j, num_blocks - 1)
+        mask[j, blocks] = True
+    return mask
+
+
 def _msg_segmax_scan_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref,
                             recv_ref, o_ref, *, node_block: int,
                             edge_tile: int):
@@ -837,6 +940,353 @@ def fused_hoisted_aggregate_v2_reference(x, w_s, e_t, w_e, senders_t,
     # padding slots all carry receiver 0 when clamped; subtract their count
     has = segment_count(recv_c, num_nodes, mask) > 0
     return jnp.where(has[:, None], offset + inner, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# fused hoisted aggregation v3 — windowed kernels (no XLA gathers/scatters)
+#
+# Requires Morton-ordered nodes + prepare_windowed_csr_tiles: every receiver
+# block's senders sit inside a window of `window_blocks` consecutive node
+# blocks, so
+#   * the forward E-wide gather x[senders] becomes an in-kernel one-hot MXU
+#     matmul against the VMEM-resident window (eq_s @ x_window),
+#   * the backward gather transpose d_x lands in-kernel into per-part window
+#     outputs (eq_s.T @ d_xg) — the [E, d] HBM crossing (profiled at
+#     5.7 ms/layer as either scatter-add or permutation gather) disappears.
+# The few percent of edges whose sender misses the window ride a small
+# fixed-budget XLA overflow path.
+# ---------------------------------------------------------------------------
+
+def _window_eq(sloc_row, edge_tile, width, dtype):
+    """One-hot [TE, W] edge->window-slot matrix; -1 slots match nothing."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, width), 1)
+    return (cols == jnp.transpose(sloc_row)).astype(dtype)
+
+
+def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
+                         node_block: int, edge_tile: int, window_blocks: int):
+    x_parts = refs[:window_blocks]
+    ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[window_blocks:
+                                                     window_blocks + 5]
+    o_ref = refs[window_blocks + 5]
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+    is_first_tile_of_block = jnp.logical_or(
+        t == 0, tile_blocks_ref[jnp.maximum(t - 1, 0)] != blk)
+
+    @pl.when(is_first_tile_of_block)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, _NEG)
+
+    xw = jnp.concatenate([p[:] for p in x_parts], axis=0)     # [W, d_in]
+    sloc2d = sloc_ref[pl.ds(t, 1), :]                          # [1, TE]
+    eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)
+    x_g = jnp.dot(eq_s, xw,
+                  preferred_element_type=jnp.float32).astype(xw.dtype)
+    m = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
+
+    local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)    # [1, TE]
+    r = m
+    shift = 1
+    while shift < edge_tile:
+        l_roll = pltpu.roll(local2d, shift, axis=1)
+        match_col = jnp.transpose(
+            (l_roll == local2d).astype(jnp.float32))           # [TE, 1]
+        r_roll = pltpu.roll(r, shift, axis=0)
+        r = r + (jnp.maximum(r, r_roll) - r) * match_col
+        shift *= 2
+
+    nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
+    is_last = jnp.logical_or(local2d != nxt,
+                             col == edge_tile - 1).astype(jnp.float32)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32) * is_last
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+    has = jnp.sum(eq, axis=1, keepdims=True)
+    out_tile = sums + (has - 1.0) * (-_NEG)
+    o_ref[:] = jnp.maximum(o_ref[:], out_tile)
+
+
+def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
+                         node_block: int, edge_tile: int, window_blocks: int):
+    wb = window_blocks
+    x_parts = refs[:wb]
+    ws_ref, e_ref, we_ref, recv_ref, sloc_ref, inner_ref, g_ref = \
+        refs[wb:wb + 7]
+    de_ref, dws_ref, dwe_ref = refs[wb + 7:wb + 10]
+    dx_parts = refs[wb + 10:wb + 10 + wb]
+
+    t = pl.program_id(0)
+    blk = tile_blocks_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        dws_ref[:] = jnp.zeros_like(dws_ref)
+        dwe_ref[:] = jnp.zeros_like(dwe_ref)
+
+    # window moved -> all parts look at fresh blocks (tile_win is monotone,
+    # so a part never returns to an already-written block)
+    win_changed = jnp.logical_or(
+        t == 0, tile_win_ref[jnp.maximum(t - 1, 0)] != tile_win_ref[t])
+
+    @pl.when(win_changed)
+    def _():
+        for dxp in dx_parts:
+            dxp[:] = jnp.zeros_like(dxp)
+
+    xw = jnp.concatenate([p[:] for p in x_parts], axis=0)      # [W, d_in]
+    sloc2d = sloc_ref[pl.ds(t, 1), :]
+    eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)  # [TE, W]
+    x_g = jnp.dot(eq_s, xw,
+                  preferred_element_type=jnp.float32).astype(xw.dtype)
+    operand = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
+        + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
+
+    local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block
+    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
+    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+          ).astype(jnp.float32)                                # [TN, TE]
+    inner_at_e = jnp.dot(eq.T, inner_ref[:],
+                         preferred_element_type=jnp.float32)
+    g_at_e = jnp.dot(eq.T, g_ref[:], preferred_element_type=jnp.float32)
+    has_recv = jnp.sum(eq, axis=0)[:, None]
+    sel = (jnp.abs(operand - inner_at_e)
+           <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
+    d_op = sel * has_recv * g_at_e                             # [TE, H]
+
+    d_op_c = d_op.astype(xw.dtype)
+    d_xg = jnp.dot(d_op_c, ws_ref[:].T,
+                   preferred_element_type=jnp.float32)         # [TE, d_in]
+    de_ref[:] = jnp.dot(d_op, we_ref[:].T,
+                        preferred_element_type=jnp.float32)
+    dws_ref[:] += jnp.dot(x_g.T, d_op_c,
+                          preferred_element_type=jnp.float32)
+    dwe_ref[:] += jnp.dot(e_ref[:].T, d_op,
+                          preferred_element_type=jnp.float32)
+
+    dxw = jnp.dot(eq_s.T, d_xg.astype(xw.dtype),
+                  preferred_element_type=jnp.float32)          # [W, d_in]
+    for j, dxp in enumerate(dx_parts):
+        dxp[:] += dxw[j * node_block:(j + 1) * node_block]
+
+
+def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
+                     nblocks_pad):
+    """x-part specs (window columns, clamped) + weight/edge/table specs."""
+    def part_map(j):
+        return lambda i, tb, tw: (jnp.minimum(tw[i] + j, nblocks_pad - 1), 0)
+
+    specs = [pl.BlockSpec((node_block, d_in), part_map(j),
+                          memory_space=pltpu.VMEM)
+             for j in range(window_blocks)]
+    specs += [
+        pl.BlockSpec((d_in, h), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((edge_tile, de), lambda i, tb, tw: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((de, h), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, edge_tile), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, edge_tile), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return specs
+
+
+def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
+                       tile_blocks, tile_win, num_nodes, node_block,
+                       edge_tile, window_blocks, interpret):
+    n_pad_in, d_in = x_c.shape
+    h = w_s.shape[1]
+    de = e_t.shape[1]
+    e_pad = e_t.shape[0]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+    nblocks_pad = nb_pad // node_block
+    xp = jnp.pad(x_c, ((0, nb_pad - n_pad_in), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=_v3_common_specs(d_in, h, de, t, edge_tile, node_block,
+                                  window_blocks, nblocks_pad),
+        out_specs=pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_fused_fwd_kernel_v3, node_block=node_block,
+                          edge_tile=edge_tile, window_blocks=window_blocks),
+        out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, tile_win, *([xp] * window_blocks), w_s, e_t, w_e,
+      padded_recv.astype(jnp.int32).reshape(t, edge_tile),
+      senders_local.astype(jnp.int32).reshape(t, edge_tile))
+    return out[:num_nodes]
+
+
+def _fused_bwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
+                       tile_blocks, tile_win, inner, g, num_nodes,
+                       node_block, edge_tile, window_blocks, interpret):
+    n_pad_in, d_in = x_c.shape
+    h = w_s.shape[1]
+    de = e_t.shape[1]
+    e_pad = e_t.shape[0]
+    t = e_pad // edge_tile
+    nb_pad = -(-num_nodes // node_block) * node_block
+    nblocks_pad = nb_pad // node_block
+    xp = jnp.pad(x_c, ((0, nb_pad - n_pad_in), (0, 0)))
+    inner_p = jnp.pad(inner, ((0, nb_pad - num_nodes), (0, 0)))
+    g_p = jnp.pad(g, ((0, nb_pad - num_nodes), (0, 0)))
+
+    in_specs = _v3_common_specs(d_in, h, de, t, edge_tile, node_block,
+                                window_blocks, nblocks_pad)
+    in_specs += [
+        pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    def part_map(j):
+        return lambda i, tb, tw: (jnp.minimum(tw[i] + j, nblocks_pad - 1), 0)
+
+    out_specs = (
+        pl.BlockSpec((edge_tile, de), lambda i, tb, tw: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_in, h), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((de, h), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ) + tuple(pl.BlockSpec((node_block, d_in), part_map(j),
+                           memory_space=pltpu.VMEM)
+              for j in range(window_blocks))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2, grid=(t,), in_specs=in_specs,
+        out_specs=out_specs)
+    outs = pl.pallas_call(
+        functools.partial(_fused_bwd_kernel_v3, node_block=node_block,
+                          edge_tile=edge_tile, window_blocks=window_blocks),
+        out_shape=(
+            jax.ShapeDtypeStruct((e_pad, de), jnp.float32),
+            jax.ShapeDtypeStruct((d_in, h), jnp.float32),
+            jax.ShapeDtypeStruct((de, h), jnp.float32),
+        ) + tuple(jax.ShapeDtypeStruct((nb_pad, d_in), jnp.float32)
+                  for _ in range(window_blocks)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_blocks, tile_win, *([xp] * window_blocks), w_s, e_t, w_e,
+      padded_recv.astype(jnp.int32).reshape(t, edge_tile),
+      senders_local.astype(jnp.int32).reshape(t, edge_tile),
+      inner_p, g_p)
+    d_e, d_ws, d_we = outs[:3]
+    return d_e, d_ws, d_we, outs[3:]
+
+
+def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
+                                    edge_tile: int = 256,
+                                    window_blocks: int = 4,
+                                    interpret: Optional[bool] = None):
+    """Windowed fused max-aggregation (see module section comment).
+
+    fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
+          senders_local, part_mask, ovf_senders, ovf_receivers)
+      inner[n] = max over in-window tiled edges and overflow edges with
+                 receiver n of (x[sender] @ w_s + e @ w_e)
+      out[n]   = offset[n] + inner[n] for non-empty n, else 0.
+
+    Differentiable args: x, w_s, e_t (tile-ordered edge features), w_e,
+    offset, e_ovf (overflow edge features). part_mask [WB, nblocks_pad]
+    marks which node blocks each backward dx part actually visited (host
+    metadata) — unvisited blocks are dropped with jnp.where, which is safe
+    against uninitialized-garbage NaNs where a multiply would not be.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
+    nb_pad = -(-num_nodes // node_block) * node_block
+
+    def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
+        cd = gather_dtype
+        y_s = jnp.dot(x.astype(cd), w_s.astype(cd),
+                      preferred_element_type=jnp.float32)
+        op = y_s[ovf_s] + e_ovf @ w_e
+        return jnp.where(ovf_mask[:, None], op, _NEG)
+
+    def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
+                 tile_win, senders_local, ovf_s, ovf_r):
+        x_c = x.astype(gather_dtype)
+        inner_win = _fused_fwd_call_v3(
+            x_c, w_s.astype(gather_dtype), e_t, w_e.astype(jnp.float32),
+            recv_t, senders_local, tile_blocks, tile_win, num_nodes,
+            node_block, edge_tile, window_blocks, interpret)
+        ovf_mask = ovf_r >= 0
+        ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
+        op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
+        inner_o = jax.ops.segment_max(op_o, ovf_r_c,
+                                      num_segments=num_nodes)
+        # segment_max fills empty segments with -inf; combine with window
+        inner = jnp.maximum(inner_win, inner_o)
+        has = inner > _NEG / 2
+        out = jnp.where(has, offset + inner, 0.0)
+        return out, inner, has
+
+    @jax.custom_vjp
+    def fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
+              tile_win, senders_local, part_mask, ovf_s, ovf_r):
+        out, _, _ = _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t,
+                             tile_blocks, tile_win, senders_local,
+                             ovf_s, ovf_r)
+        return out
+
+    def fwd(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
+            tile_win, senders_local, part_mask, ovf_s, ovf_r):
+        out, inner, has = _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t,
+                                   tile_blocks, tile_win, senders_local,
+                                   ovf_s, ovf_r)
+        return out, (x, w_s, e_t, w_e, e_ovf, recv_t, tile_blocks, tile_win,
+                     senders_local, part_mask, ovf_s, ovf_r, inner, has)
+
+    def bwd(res, g):
+        (x, w_s, e_t, w_e, e_ovf, recv_t, tile_blocks, tile_win,
+         senders_local, part_mask, ovf_s, ovf_r, inner, has) = res
+        g_pass = jnp.where(has, g, 0.0)
+        inner_z = jnp.where(has, inner, 0.0)
+        x_c = x.astype(gather_dtype)
+        d_e_t, d_ws, d_we, parts = _fused_bwd_call_v3(
+            x_c, w_s.astype(gather_dtype), e_t, w_e.astype(jnp.float32),
+            recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
+            num_nodes, node_block, edge_tile, window_blocks, interpret)
+        row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
+        d_x = jnp.zeros((nb_pad, x.shape[1]), jnp.float32)
+        for j, p in enumerate(parts):
+            d_x = d_x + jnp.where(row_masks[j][:, None], p, 0.0)
+        d_x = d_x[:x.shape[0]]
+
+        # overflow backward (small, XLA)
+        ovf_mask = ovf_r >= 0
+        ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
+        op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
+        sel_o = ovf_mask[:, None] & (
+            jnp.abs(op_o - inner_z[ovf_r_c])
+            <= 1e-5 * jnp.abs(inner_z[ovf_r_c]) + 1e-5)
+        d_op_o = jnp.where(sel_o, g_pass[ovf_r_c], 0.0)
+        d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
+                                        num_segments=num_nodes)
+        d_ws = d_ws + x[ovf_s].T @ d_op_o
+        d_we = d_we + e_ovf.T @ d_op_o
+        d_e_ovf = d_op_o @ w_e.T
+
+        return (d_x, d_ws, d_e_t, d_we, g_pass, d_e_ovf,
+                None, None, None, None, None, None, None)
+
+    fused.defvjp(fwd, bwd)
+    return fused
 
 
 def _hoisted_bwd_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,

@@ -167,7 +167,8 @@ def test_fused_hoisted_aggregate_forward_and_grad():
 
 def test_detnet_fused_aggregation_matches_default():
     """Full model + trainer step with use_fused_aggregation must match the
-    XLA path (forward and training losses) on tiled loader batches."""
+    XLA path (forward and training losses) on tiled loader batches — for
+    both the v2 CSR tiling and the v3 Morton-windowed tiling."""
     import jax
 
     from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
@@ -179,7 +180,7 @@ def test_detnet_fused_aggregation_matches_default():
 
     samples = make_samples(num_frames=4, num_points=100, seed=0)
     losses = {}
-    for fused in (False, True):
+    for fused in (False, True, "windowed"):
         arch = GNNArchitectureConfig(
             node_feature_dimension=samples[0].node_feat.shape[1],
             edge_feature_dimension=2, conv_layer_dimensions=[16, 16],
@@ -190,13 +191,20 @@ def test_detnet_fused_aggregation_matches_default():
             node_feature_embedding_layer_dimensions=[16],
             edge_feature_embedding_layer_dimensions=[8],
             batch_norm_in_mlps=False, assume_sorted_edges=True,
-            use_fused_aggregation=fused)
+            use_fused_aggregation=bool(fused))
         tcfg = TrainingConfig(
             dataset="radarscenes", learning_rate=1e-3, epochs=2, batch_size=2,
             shuffle=False, bg_index=5, adapt_orientation_angle=True,
             deterministic=True, seed=3)
         key = set_seeds(3)
-        tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE) if fused else None
+        if fused == "windowed":
+            # small blocks so 100-node graphs tile; dense tiny graphs
+            # overflow a lot, so give the overflow path a big budget
+            tiling = (32, 32, 2, 0.5)
+        elif fused:
+            tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+        else:
+            tiling = None
         tr = GraphDataLoader(samples[:2], 2, False, 5, seed=1,
                              csr_tiling=tiling)
         va = GraphDataLoader(samples[2:], 2, False, 5, seed=1,
@@ -211,6 +219,10 @@ def test_detnet_fused_aggregation_matches_default():
     np.testing.assert_allclose(losses[True][0], losses[False][0],
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(losses[True][1], losses[False][1],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(losses["windowed"][0], losses[False][0],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(losses["windowed"][1], losses[False][1],
                                rtol=1e-3, atol=1e-4)
 
 
@@ -407,3 +419,149 @@ def test_tile_roll_passes():
                     1, 2, 3, 4, 5, 6, 7, -1], np.int32)
     got = tile_roll_passes(seg, edge_tile=8)
     np.testing.assert_array_equal(got, [2, 3, 0, 0])
+
+
+def test_fused_hoisted_aggregate_v3_windowed_matches():
+    """v3 windowed kernels (in-kernel one-hot gather + dx window landing +
+    overflow path): forward and all gradients match the XLA formulation.
+    Random senders force a large overflow fraction, exercising both paths."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate_v3, prepare_windowed_csr_tiles,
+        window_part_mask,
+    )
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    rng = np.random.default_rng(23)
+    n, e, d_in, de, h = 96, 500, 24, 8, 32
+    node_block, edge_tile, wb = 16, 32, 2
+
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    w_s = rng.normal(size=(d_in, h)).astype(np.float32) * 0.3
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.3
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    (perm, tile_blocks, padded_recv, senders_local, tile_win,
+     ovf_idx) = prepare_windowed_csr_tiles(
+        senders, receivers, mask, n, node_block, edge_tile, wb,
+        ovf_budget=-(-e // edge_tile) * edge_tile)
+    assert (ovf_idx >= 0).sum() > 20, "test should exercise overflow"
+    nblocks = -(-n // node_block)
+    pmask = window_part_mask(tile_win, nblocks, wb)
+
+    e_t = e_feat[perm]
+    ovf_valid = ovf_idx >= 0
+    ovf_s = np.where(ovf_valid, senders[np.maximum(ovf_idx, 0)], 0)
+    ovf_r = np.where(ovf_valid, receivers[np.maximum(ovf_idx, 0)], -1)
+    e_ovf = np.where(ovf_valid[:, None],
+                     e_feat[np.maximum(ovf_idx, 0)], 0.0).astype(np.float32)
+
+    fused = make_fused_hoisted_aggregate_v3(n, node_block, edge_tile, wb)
+    consts = tuple(map(jnp.asarray, (padded_recv, tile_blocks, tile_win,
+                                     senders_local, pmask, ovf_s, ovf_r)))
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_, e_ovf_):
+        return fused(x_, w_s_, e_t_, w_e_, offset_, e_ovf_, *consts)
+
+    def f_xla(x_, w_s_, e_feat_, w_e_, offset_):
+        operand = (x_ @ w_s_)[jnp.asarray(senders)] + e_feat_ @ w_e_
+        return hoisted_segment_max(operand, jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False, offset_)
+
+    args_p = tuple(map(jnp.asarray, (x, w_s, e_t, w_e, offset, e_ovf)))
+    args_x = tuple(map(jnp.asarray, (x, w_s, e_feat, w_e, offset)))
+
+    out_p = f_pallas(*args_p)
+    out_x = f_xla(*args_x)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+    g_p = jax.grad(lambda *a: (f_pallas(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *a: (f_xla(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, a, bb_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+    # edge-feature gradient: tile + overflow cotangents scatter back to the
+    # original edge layout and must match the XLA e-grad
+    ge = jax.grad(lambda et, eo: (f_pallas(args_p[0], args_p[1], et,
+                                           args_p[3], args_p[4], eo) ** 2)
+                  .sum(), argnums=(0, 1))(args_p[2], args_p[5])
+    ge_x = jax.grad(lambda ef: (f_xla(args_x[0], args_x[1], ef,
+                                      *args_x[3:]) ** 2).sum())(args_x[2])
+    ge_scattered = np.zeros_like(e_feat)
+    np.add.at(ge_scattered, perm, np.asarray(ge[0]))
+    np.add.at(ge_scattered, np.maximum(ovf_idx, 0),
+              np.where(ovf_valid[:, None], np.asarray(ge[1]), 0.0))
+    np.testing.assert_allclose(ge_scattered, np.asarray(ge_x),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_prepare_windowed_csr_tiles_partition():
+    """Every valid edge lands exactly once in (in-window tiles) or overflow;
+    senders_local is consistent; tile_win is monotone."""
+    from radargnn_tpu.ops.pallas_kernels import prepare_windowed_csr_tiles
+
+    rng = np.random.default_rng(29)
+    n, e = 128, 600
+    node_block, edge_tile, wb = 16, 32, 3
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.85
+
+    (perm, tile_blocks, padded_recv, senders_local, tile_win,
+     ovf_idx) = prepare_windowed_csr_tiles(
+        senders, receivers, mask, n, node_block, edge_tile, wb,
+        ovf_budget=e)
+
+    assert np.all(np.diff(tile_win) >= 0)
+    valid = padded_recv >= 0
+    in_win_edges = perm[valid]
+    ovf_edges = ovf_idx[ovf_idx >= 0]
+    all_edges = np.concatenate([in_win_edges, ovf_edges])
+    assert len(all_edges) == len(set(all_edges.tolist())) == mask.sum()
+    # receiver ids survive the permutation
+    np.testing.assert_array_equal(padded_recv[valid], receivers[in_win_edges])
+    # senders_local maps back to global senders through the tile window
+    e_win = np.repeat(tile_win, edge_tile) * node_block
+    np.testing.assert_array_equal(
+        (senders_local + e_win)[valid], senders[in_win_edges])
+    assert senders_local[valid].min() >= 0
+    assert senders_local[valid].max() < wb * node_block
+
+
+def test_morton_order_locality():
+    from radargnn_tpu.ops.pallas_kernels import morton_order
+
+    rng = np.random.default_rng(31)
+    pos = rng.uniform(0, 80, size=(512, 2))
+    perm = morton_order(pos)
+    assert sorted(perm.tolist()) == list(range(512))
+    # neighbors in sorted order are spatially close on average vs random
+    p = pos[perm]
+    d_sorted = np.linalg.norm(np.diff(p, axis=0), axis=1).mean()
+    d_rand = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
+    assert d_sorted < d_rand / 3
+
+
+def test_windowed_tiling_handles_empty_padding_sample():
+    """The loader pads short batches with zero-node samples; the windowed
+    (v3) tiling must survive them (morton_order on an empty cloud)."""
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.data.synthetic import make_samples
+
+    samples = make_samples(num_frames=3, num_points=100, seed=0)
+    ld = GraphDataLoader(samples, 2, False, 5, seed=1,
+                         csr_tiling=(32, 32, 2, 0.5))
+    batches = list(ld)
+    assert len(batches) == 2
+    # second batch holds one real + one empty sample
+    assert int(np.asarray(batches[1].num_valid_nodes())) == 100
+    assert batches[1].win_senders_local is not None
