@@ -51,6 +51,12 @@ class GraphDataLoader:
         self._rng = np.random.default_rng(seed)
         self._pad_cache: dict = {}
         self._empty: Optional[GraphSample] = None
+        # loader-level static roll-pass bound so every batch hits the same
+        # compiled windowed-kernel executable
+        self.roll_passes: Optional[int] = None
+        if csr_tiling is not None and len(csr_tiling) >= 3:
+            from radargnn_tpu.graph.batch import roll_passes_bound
+            self.roll_passes = roll_passes_bound(samples, csr_tiling[1])
 
         n_max = max(s.num_nodes for s in samples)
         e_max = max(s.num_edges for s in samples)
@@ -79,7 +85,8 @@ class GraphDataLoader:
                     batch_samples.append(self._empty)
             yield stack_samples(batch_samples, self.max_nodes, self.bg_index,
                                 self.max_edges, csr_tiling=self.csr_tiling,
-                                pad_cache=self._pad_cache)
+                                pad_cache=self._pad_cache,
+                                roll_passes=self.roll_passes)
 
 
 def _empty_like(sample: GraphSample) -> GraphSample:

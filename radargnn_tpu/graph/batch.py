@@ -42,6 +42,10 @@ class FlatTiling(NamedTuple):
     win: Optional[tuple] = None
     node_block: int = 256
     edge_tile: int = 256
+    # static bound on the windowed kernels' segmented-max log-roll passes:
+    # 2**roll_passes >= the longest same-receiver run in any tile (the max
+    # in-degree bounds it); None = full log2(edge_tile)
+    roll_passes: Optional[int] = None
 
 
 @struct.dataclass
@@ -137,8 +141,11 @@ class GraphBatch:
         """
         if self.tiled_senders is None:
             return None
+        roll_passes = None
         if self.tile_geometry is not None:
-            node_block, edge_tile = self.tile_geometry
+            node_block, edge_tile = self.tile_geometry[:2]
+            if len(self.tile_geometry) > 2:
+                roll_passes = self.tile_geometry[2]
         else:
             edge_tile = node_block
         g, et = self.tiled_senders.shape
@@ -178,7 +185,7 @@ class GraphBatch:
                 -1, self.ovf_edge_feat.shape[-1])
             win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e)
         return FlatTiling(senders, recv, blocks, edge_feat, ssum, win,
-                          node_block, edge_tile)
+                          node_block, edge_tile, roll_passes)
 
     def num_valid_nodes(self) -> jnp.ndarray:
         return jnp.sum(self.node_mask)
@@ -240,6 +247,21 @@ def morton_sort_sample(sample: GraphSample) -> GraphSample:
         receivers=inv[sample.receivers].astype(sample.receivers.dtype),
         labels=sample.labels[perm], boxes=sample.boxes[perm],
         pos=sample.pos[perm], vel=sample.vel[perm])
+
+
+def roll_passes_bound(samples: List[GraphSample], edge_tile: int) -> int:
+    """Static log-roll pass count for the windowed kernels' segmented max:
+    the longest same-receiver edge run inside a tile is bounded by the max
+    in-degree, so 2**passes >= max_in_degree is always enough (padded slots
+    never land). Cheap O(E) host metadata."""
+    max_deg = 1
+    for s in samples:
+        if s.num_edges:
+            max_deg = max(max_deg,
+                          int(np.bincount(s.receivers,
+                                          minlength=s.num_nodes).max()))
+    full = int(np.ceil(np.log2(edge_tile)))
+    return min(full, max(1, int(np.ceil(np.log2(max_deg)))))
 
 
 def overflow_budget(max_edges: int, edge_tile: int,
@@ -374,8 +396,8 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
 def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
                   max_edges: Optional[int] = None,
                   sort_edges_by_receiver: bool = True,
-                  csr_tiling=None, pad_cache: Optional[dict] = None
-                  ) -> GraphBatch:
+                  csr_tiling=None, pad_cache: Optional[dict] = None,
+                  roll_passes: Optional[int] = None) -> GraphBatch:
     """Pads and stacks host samples into a device GraphBatch.
 
     With the default receiver-sorted edge layout, flat receiver indices are
@@ -385,7 +407,12 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
 
     `pad_cache` (id(sample) -> padded dict) memoizes the per-sample padding
     and CSR/windowed-tiling host work across epochs — padding is pure
-    per-sample, so reshuffled batches reuse it."""
+    per-sample, so reshuffled batches reuse it.
+
+    `roll_passes` statically bounds the windowed kernels' segmented-max
+    log-roll passes (see roll_passes_bound); None computes it from this
+    batch's samples — pass a loader-level constant to keep one compiled
+    executable across batches."""
     if max_edges is None:
         max_edges = max(s.num_edges for s in samples)
     padded = []
@@ -400,5 +427,10 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
         padded.append(p)
     arrays = {k: np.stack([p[k] for p in padded]) for k in padded[0]}
     geometry = tuple(csr_tiling[:2]) if csr_tiling is not None else None
+    if geometry is not None and csr_tiling is not None \
+            and len(csr_tiling) >= 3:
+        if roll_passes is None:
+            roll_passes = roll_passes_bound(samples, geometry[1])
+        geometry = geometry + (roll_passes,)
     return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()},
                       tile_geometry=geometry)

@@ -117,7 +117,8 @@ class MPNNConv(_AggregationMixin, nn.Module):
                 sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
                 fused = make_fused_hoisted_aggregate_v3(
                     num_nodes, tiling.node_block, tiling.edge_tile,
-                    window_blocks=pmask.shape[0])
+                    window_blocks=pmask.shape[0],
+                    roll_passes=tiling.roll_passes)
                 aggr = fused(x, w_s, tiling.edge_feat,
                              w_e.astype(jnp.float32), y_r + bias, ovf_e,
                              tiling.receivers, tiling.blocks, t_win, sloc,

@@ -964,7 +964,8 @@ def _window_eq(sloc_row, edge_tile, width, dtype):
 
 
 def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
-                         node_block: int, edge_tile: int, window_blocks: int):
+                         node_block: int, edge_tile: int, window_blocks: int,
+                         roll_limit: int):
     x_parts = refs[:window_blocks]
     ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[window_blocks:
                                                      window_blocks + 5]
@@ -987,14 +988,15 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
 
     local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)    # [1, TE]
+    # segmented suffix-max via log-rolls; column-oriented segment ids make
+    # each pass a select (2 VPU passes, no per-shift transpose relayout)
+    localc = jnp.transpose(local2d)                            # [TE, 1]
     r = m
     shift = 1
-    while shift < edge_tile:
-        l_roll = pltpu.roll(local2d, shift, axis=1)
-        match_col = jnp.transpose(
-            (l_roll == local2d).astype(jnp.float32))           # [TE, 1]
+    while shift < roll_limit:
+        match = pltpu.roll(localc, shift, axis=0) == localc    # [TE, 1]
         r_roll = pltpu.roll(r, shift, axis=0)
-        r = r + (jnp.maximum(r, r_roll) - r) * match_col
+        r = jnp.where(match, jnp.maximum(r, r_roll), r)
         shift *= 2
 
     nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
@@ -1099,7 +1101,8 @@ def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
 
 def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, num_nodes, node_block,
-                       edge_tile, window_blocks, interpret):
+                       edge_tile, window_blocks, interpret,
+                       roll_limit=None):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -1119,7 +1122,8 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
     )
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel_v3, node_block=node_block,
-                          edge_tile=edge_tile, window_blocks=window_blocks),
+                          edge_tile=edge_tile, window_blocks=window_blocks,
+                          roll_limit=roll_limit or edge_tile),
         out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1191,7 +1195,8 @@ def _fused_bwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
 def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     edge_tile: int = 256,
                                     window_blocks: int = 4,
-                                    interpret: Optional[bool] = None):
+                                    interpret: Optional[bool] = None,
+                                    roll_passes: Optional[int] = None):
     """Windowed fused max-aggregation (see module section comment).
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
@@ -1210,6 +1215,9 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         interpret = _interpret_default()
     gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
     nb_pad = -(-num_nodes // node_block) * node_block
+    # 2**roll_passes bounds the longest same-receiver run inside a tile
+    # (host metadata, see graph.batch.roll_passes_bound)
+    roll_limit = min(edge_tile, 1 << roll_passes) if roll_passes else None
 
     def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
         cd = gather_dtype
@@ -1224,7 +1232,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         inner_win = _fused_fwd_call_v3(
             x_c, w_s.astype(gather_dtype), e_t, w_e.astype(jnp.float32),
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
-            node_block, edge_tile, window_blocks, interpret)
+            node_block, edge_tile, window_blocks, interpret,
+            roll_limit=roll_limit)
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
