@@ -965,7 +965,7 @@ def _window_eq(sloc_row, edge_tile, width, dtype):
 
 def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
-                         roll_limit: int):
+                         roll_limit: int, save_xg: bool):
     x_parts = refs[:window_blocks]
     ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[window_blocks:
                                                      window_blocks + 5]
@@ -984,6 +984,10 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)
     x_g = jnp.dot(eq_s, xw,
                   preferred_element_type=jnp.float32).astype(xw.dtype)
+    if save_xg:
+        # stream the gathered sender rows to HBM so the backward kernel
+        # skips the window one-hot re-gather entirely
+        refs[window_blocks + 6][:] = x_g
     m = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
 
@@ -1015,11 +1019,10 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
 def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int):
     wb = window_blocks
-    x_parts = refs[:wb]
-    ws_ref, e_ref, we_ref, recv_ref, sloc_ref, inner_ref, g_ref = \
-        refs[wb:wb + 7]
-    de_ref, dws_ref, dwe_ref = refs[wb + 7:wb + 10]
-    dx_parts = refs[wb + 10:wb + 10 + wb]
+    (xg_ref, ws_ref, e_ref, we_ref, recv_ref, sloc_ref, inner_ref,
+     g_ref) = refs[:8]
+    de_ref, dws_ref, dwe_ref = refs[8:11]
+    dx_parts = refs[11:11 + wb]
 
     t = pl.program_id(0)
     blk = tile_blocks_ref[t]
@@ -1039,11 +1042,11 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         for dxp in dx_parts:
             dxp[:] = jnp.zeros_like(dxp)
 
-    xw = jnp.concatenate([p[:] for p in x_parts], axis=0)      # [W, d_in]
+    # x_g streamed from the forward kernel (no window re-gather)
+    x_g = xg_ref[:]                                            # [TE, d_in]
+    w_width = wb * node_block
     sloc2d = sloc_ref[pl.ds(t, 1), :]
-    eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)  # [TE, W]
-    x_g = jnp.dot(eq_s, xw,
-                  preferred_element_type=jnp.float32).astype(xw.dtype)
+    eq_s = _window_eq(sloc2d, edge_tile, w_width, x_g.dtype)   # [TE, W]
     operand = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
 
@@ -1053,13 +1056,19 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
           ).astype(jnp.float32)                                # [TN, TE]
     inner_at_e = jnp.dot(eq.T, inner_ref[:],
                          preferred_element_type=jnp.float32)
-    g_at_e = jnp.dot(eq.T, g_ref[:], preferred_element_type=jnp.float32)
+    # gradients tolerate bf16: a 0/1 one-hot is exact in bf16 and the
+    # upstream g rides bf16 matmuls elsewhere — halves this matmul's cost.
+    # Built transposed directly from iota (no relayout).
+    ncols = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, node_block), 1)
+    eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
+    g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(x_g.dtype),
+                     preferred_element_type=jnp.float32)
     has_recv = jnp.sum(eq, axis=0)[:, None]
     sel = (jnp.abs(operand - inner_at_e)
            <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
     d_op = sel * has_recv * g_at_e                             # [TE, H]
 
-    d_op_c = d_op.astype(xw.dtype)
+    d_op_c = d_op.astype(x_g.dtype)
     d_xg = jnp.dot(d_op_c, ws_ref[:].T,
                    preferred_element_type=jnp.float32)         # [TE, d_in]
     de_ref[:] = jnp.dot(d_op, we_ref[:].T,
@@ -1069,7 +1078,7 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     dwe_ref[:] += jnp.dot(e_ref[:].T, d_op,
                           preferred_element_type=jnp.float32)
 
-    dxw = jnp.dot(eq_s.T, d_xg.astype(xw.dtype),
+    dxw = jnp.dot(eq_s.T, d_xg.astype(x_g.dtype),
                   preferred_element_type=jnp.float32)          # [W, d_in]
     for j, dxp in enumerate(dx_parts):
         dxp[:] += dxw[j * node_block:(j + 1) * node_block]
@@ -1102,7 +1111,7 @@ def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
 def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, num_nodes, node_block,
                        edge_tile, window_blocks, interpret,
-                       roll_limit=None):
+                       roll_limit=None, save_xg=False):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -1112,44 +1121,65 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
     nblocks_pad = nb_pad // node_block
     xp = jnp.pad(x_c, ((0, nb_pad - n_pad_in), (0, 0)))
 
+    out_specs = pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((nb_pad, h), jnp.float32)
+    if save_xg:
+        out_specs = (out_specs,
+                     pl.BlockSpec((edge_tile, d_in),
+                                  lambda i, tb, tw: (i, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((e_pad, d_in), x_c.dtype))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
         in_specs=_v3_common_specs(d_in, h, de, t, edge_tile, node_block,
                                   window_blocks, nblocks_pad),
-        out_specs=pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
     )
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel_v3, node_block=node_block,
                           edge_tile=edge_tile, window_blocks=window_blocks,
-                          roll_limit=roll_limit or edge_tile),
-        out_shape=jax.ShapeDtypeStruct((nb_pad, h), jnp.float32),
+                          roll_limit=roll_limit or edge_tile,
+                          save_xg=save_xg),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_blocks, tile_win, *([xp] * window_blocks), w_s, e_t, w_e,
       padded_recv.astype(jnp.int32).reshape(t, edge_tile),
       senders_local.astype(jnp.int32).reshape(t, edge_tile))
+    if save_xg:
+        return out[0][:num_nodes], out[1]
     return out[:num_nodes]
 
 
-def _fused_bwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
+def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, inner, g, num_nodes,
                        node_block, edge_tile, window_blocks, interpret):
-    n_pad_in, d_in = x_c.shape
+    d_in = xg_stream.shape[1]
     h = w_s.shape[1]
     de = e_t.shape[1]
     e_pad = e_t.shape[0]
     t = e_pad // edge_tile
     nb_pad = -(-num_nodes // node_block) * node_block
     nblocks_pad = nb_pad // node_block
-    xp = jnp.pad(x_c, ((0, nb_pad - n_pad_in), (0, 0)))
     inner_p = jnp.pad(inner, ((0, nb_pad - num_nodes), (0, 0)))
     g_p = jnp.pad(g, ((0, nb_pad - num_nodes), (0, 0)))
 
-    in_specs = _v3_common_specs(d_in, h, de, t, edge_tile, node_block,
-                                window_blocks, nblocks_pad)
-    in_specs += [
+    in_specs = [
+        pl.BlockSpec((edge_tile, d_in), lambda i, tb, tw: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_in, h), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((edge_tile, de), lambda i, tb, tw: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((de, h), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, edge_tile), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((t, edge_tile), lambda i, tb, tw: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
@@ -1184,7 +1214,7 @@ def _fused_bwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                   for _ in range(window_blocks)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_blocks, tile_win, *([xp] * window_blocks), w_s, e_t, w_e,
+    )(tile_blocks, tile_win, xg_stream, w_s, e_t, w_e,
       padded_recv.astype(jnp.int32).reshape(t, edge_tile),
       senders_local.astype(jnp.int32).reshape(t, edge_tile),
       inner_p, g_p)
@@ -1227,13 +1257,14 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         return jnp.where(ovf_mask[:, None], op, _NEG)
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
-                 tile_win, senders_local, ovf_s, ovf_r):
+                 tile_win, senders_local, ovf_s, ovf_r, save_xg=False):
         x_c = x.astype(gather_dtype)
-        inner_win = _fused_fwd_call_v3(
+        res = _fused_fwd_call_v3(
             x_c, w_s.astype(gather_dtype), e_t, w_e.astype(jnp.float32),
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
             node_block, edge_tile, window_blocks, interpret,
-            roll_limit=roll_limit)
+            roll_limit=roll_limit, save_xg=save_xg)
+        inner_win, xg_stream = res if save_xg else (res, None)
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
@@ -1243,32 +1274,34 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         inner = jnp.maximum(inner_win, inner_o)
         has = inner > _NEG / 2
         out = jnp.where(has, offset + inner, 0.0)
-        return out, inner, has
+        return out, inner, has, xg_stream
 
     @jax.custom_vjp
     def fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
               tile_win, senders_local, part_mask, ovf_s, ovf_r):
-        out, _, _ = _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t,
-                             tile_blocks, tile_win, senders_local,
-                             ovf_s, ovf_r)
+        out, _, _, _ = _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t,
+                                tile_blocks, tile_win, senders_local,
+                                ovf_s, ovf_r)
         return out
 
     def fwd(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
             tile_win, senders_local, part_mask, ovf_s, ovf_r):
-        out, inner, has = _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t,
-                                   tile_blocks, tile_win, senders_local,
-                                   ovf_s, ovf_r)
+        out, inner, has, xg_stream = _forward(
+            x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
+            senders_local, ovf_s, ovf_r, save_xg=True)
         return out, (x, w_s, e_t, w_e, e_ovf, recv_t, tile_blocks, tile_win,
-                     senders_local, part_mask, ovf_s, ovf_r, inner, has)
+                     senders_local, part_mask, ovf_s, ovf_r, inner, has,
+                     xg_stream)
 
     def bwd(res, g):
         (x, w_s, e_t, w_e, e_ovf, recv_t, tile_blocks, tile_win,
-         senders_local, part_mask, ovf_s, ovf_r, inner, has) = res
+         senders_local, part_mask, ovf_s, ovf_r, inner, has,
+         xg_stream) = res
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
-        x_c = x.astype(gather_dtype)
         d_e_t, d_ws, d_we, parts = _fused_bwd_call_v3(
-            x_c, w_s.astype(gather_dtype), e_t, w_e.astype(jnp.float32),
+            xg_stream, w_s.astype(gather_dtype), e_t,
+            w_e.astype(jnp.float32),
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
             num_nodes, node_block, edge_tile, window_blocks, interpret)
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
