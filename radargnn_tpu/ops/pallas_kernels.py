@@ -988,6 +988,10 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         # stream the gathered sender rows to HBM so the backward kernel
         # skips the window one-hot re-gather entirely
         refs[window_blocks + 6][:] = x_g
+    # NOTE (measured): quantizing m to bf16 here to shrink the landing and
+    # backward inner-gather matmuls was a net LOSS (8.81M -> 8.60M) — the
+    # [TE,H] casts/relayouts outweigh halving f32 matmuls that only cost
+    # ~2x bf16 on this chip. Keep m in f32; e@we rides bf16 operands.
     m = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
 
@@ -1047,6 +1051,8 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     w_width = wb * node_block
     sloc2d = sloc_ref[pl.ds(t, 1), :]
     eq_s = _window_eq(sloc2d, edge_tile, w_width, x_g.dtype)   # [TE, W]
+    # recompute the message EXACTLY as the forward did (same tile shapes,
+    # deterministic MXU accumulation) so sel matches the landed maxima
     operand = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
 
@@ -1071,11 +1077,11 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     d_op_c = d_op.astype(x_g.dtype)
     d_xg = jnp.dot(d_op_c, ws_ref[:].T,
                    preferred_element_type=jnp.float32)         # [TE, d_in]
-    de_ref[:] = jnp.dot(d_op, we_ref[:].T,
+    de_ref[:] = jnp.dot(d_op_c, we_ref[:].T,
                         preferred_element_type=jnp.float32)
     dws_ref[:] += jnp.dot(x_g.T, d_op_c,
                           preferred_element_type=jnp.float32)
-    dwe_ref[:] += jnp.dot(e_ref[:].T, d_op,
+    dwe_ref[:] += jnp.dot(e_ref[:].T, d_op_c,
                           preferred_element_type=jnp.float32)
 
     dxw = jnp.dot(eq_s.T, d_xg.astype(x_g.dtype),
@@ -1253,14 +1259,17 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         cd = gather_dtype
         y_s = jnp.dot(x.astype(cd), w_s.astype(cd),
                       preferred_element_type=jnp.float32)
-        op = y_s[ovf_s] + e_ovf @ w_e
+        y_e = jnp.dot(e_ovf.astype(cd), w_e.astype(cd),
+                      preferred_element_type=jnp.float32)
+        op = y_s[ovf_s] + y_e
         return jnp.where(ovf_mask[:, None], op, _NEG)
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
                  tile_win, senders_local, ovf_s, ovf_r, save_xg=False):
         x_c = x.astype(gather_dtype)
         res = _fused_fwd_call_v3(
-            x_c, w_s.astype(gather_dtype), e_t, w_e.astype(jnp.float32),
+            x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
+            w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
             node_block, edge_tile, window_blocks, interpret,
             roll_limit=roll_limit, save_xg=save_xg)
@@ -1300,8 +1309,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
         d_e_t, d_ws, d_we, parts = _fused_bwd_call_v3(
-            xg_stream, w_s.astype(gather_dtype), e_t,
-            w_e.astype(jnp.float32),
+            xg_stream, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
+            w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
             num_nodes, node_block, edge_tile, window_blocks, interpret)
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
