@@ -232,41 +232,71 @@ def prepare_windowed_csr_tiles(senders: np.ndarray, receivers: np.ndarray,
     wb = min(window_blocks, num_blocks)
     nmax = num_blocks - wb
 
-    # per receiver block: histogram of sender blocks, best sliding window
-    r_blk = receivers // node_block
-    s_blk = senders // node_block
-    hist = np.zeros((num_blocks, num_blocks), np.int64)
-    np.add.at(hist, (r_blk[edge_mask], s_blk[edge_mask]), 1)
+    # tile ALL valid edges by receiver first, then choose the best
+    # wb-wide sender window PER TILE (tiles span ~TE/deg receivers, so
+    # their sender spread is far tighter than a whole receiver block's);
+    # edges outside their tile's window become dead slots + overflow
+    perm, tile_blocks, padded_recv = prepare_csr_tiles(
+        receivers, edge_mask, num_nodes, node_block, edge_tile, total_tiles)
+    t = len(tile_blocks)
+    valid = padded_recv >= 0
+    sp = senders[perm]
+    s_blk = np.where(valid, sp // node_block, 0)
+    tile_ids = np.repeat(np.arange(t), edge_tile)
+    hist = np.zeros((t, num_blocks), np.int64)
+    np.add.at(hist, (tile_ids[valid], s_blk[valid]), 1)
     csum = np.concatenate(
-        [np.zeros((num_blocks, 1), np.int64), np.cumsum(hist, axis=1)], axis=1)
-    cover = csum[:, wb:] - csum[:, :-wb]          # [num_blocks, nmax+1]
-    w0 = np.argmax(cover, axis=1)                 # best window start/block
-    w0 = np.maximum.accumulate(np.minimum(w0, nmax))   # monotone, <= nmax
+        [np.zeros((t, 1), np.int64), np.cumsum(hist, axis=1)], axis=1)
+    cover = csum[:, wb:] - csum[:, :-wb]          # [t, nmax+1]
+    # optimal MONOTONE window sequence via DP (monotonicity: a backward dx
+    # part must never revisit an already-flushed block). dp[i][w] = best
+    # total coverage through tile i with window w; transition takes the
+    # prefix-max over w' <= w of dp[i-1].
+    idx = np.arange(nmax + 1)
+    dp = cover[0].astype(np.int64)
+    back = np.zeros((t, nmax + 1), np.int32)
+    back[0] = idx
+    for i in range(1, t):
+        pm = np.maximum.accumulate(dp)
+        pmi = np.maximum.accumulate(np.where(dp == pm, idx, 0))
+        dp = cover[i] + pm
+        back[i] = pmi
+    tile_win = np.empty(t, np.int64)
+    w = int(np.argmax(dp))
+    for i in range(t - 1, -1, -1):
+        tile_win[i] = w
+        w = int(back[i][w])
 
-    win_start = w0[r_blk] * node_block
-    in_window = edge_mask & (senders >= win_start) \
-        & (senders < win_start + wb * node_block)
+    win_start_e = np.repeat(tile_win, edge_tile) * node_block
+    in_win = valid & (sp >= win_start_e) \
+        & (sp < win_start_e + wb * node_block)
+    ovf_slots = valid & ~in_win
+    ovf = perm[ovf_slots]
 
     if ovf_budget is None:
         ovf_budget = max(edge_tile,
                          -(-int(edge_mask.sum() * 0.08) // edge_tile)
                          * edge_tile)
-    ovf = np.flatnonzero(edge_mask & ~in_window)
     if len(ovf) > ovf_budget:
         raise ValueError(f"window overflow {len(ovf)} exceeds budget "
                          f"{ovf_budget}; increase window_blocks or budget")
     ovf_idx = np.full(ovf_budget, -1, np.int64)
     ovf_idx[:len(ovf)] = ovf
 
-    perm, tile_blocks, padded_recv = prepare_csr_tiles(
-        receivers, in_window, num_nodes, node_block, edge_tile, total_tiles)
-    tile_win = w0[tile_blocks].astype(np.int32)
-    valid = padded_recv >= 0
-    e_win = np.repeat(tile_win, edge_tile) * node_block
-    senders_local = np.where(valid, senders[perm] - e_win, -1)
+    padded_recv = np.where(ovf_slots, -1, padded_recv)
+    senders_local = np.where(in_win, sp - win_start_e, -1)
+
+    # compact in-window edges to the front of each tile (stable, so the
+    # receiver sort survives): dead overflow slots in the middle of a
+    # same-receiver run would break the segmented-max rolls and the
+    # is_last landing
+    slot_order = np.argsort(tile_ids * 2 + (~in_win), kind="stable")
+    perm = perm[slot_order]
+    padded_recv = padded_recv[slot_order]
+    senders_local = senders_local[slot_order]
 
     return (perm, tile_blocks, padded_recv,
-            senders_local.astype(np.int32), tile_win,
+            senders_local.astype(np.int32), tile_win.astype(np.int32),
             ovf_idx.astype(np.int32))
 
 
