@@ -82,6 +82,15 @@ class DetNet(nn.Module):
                     sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = win
                     ovf_e = emb(ovf_e, ovf_r >= 0, train)
                     win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e)
+            if win is not None and dtype != "float32":
+                # cast edge features to the compute dtype ONCE: every layer's
+                # windowed kernel streams them at half width and returns
+                # compute-dtype d_e (the cast's VJP restores f32 for the
+                # embedding backward)
+                cd = jnp.dtype(dtype)
+                e_t = e_t.astype(cd)
+                sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = win
+                win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e.astype(cd))
             tiling = tiling._replace(edge_feat=e_t, win=win)
             # layers size their pre-MLP from edge_attr's width; in fused
             # mode the tiled embedded features are the edge features

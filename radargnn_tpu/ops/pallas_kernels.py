@@ -1108,7 +1108,8 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     d_xg = jnp.dot(d_op_c, ws_ref[:].T,
                    preferred_element_type=jnp.float32)         # [TE, d_in]
     de_ref[:] = jnp.dot(d_op_c, we_ref[:].T,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32
+                        ).astype(de_ref.dtype)
     dws_ref[:] += jnp.dot(x_g.T, d_op_c,
                           preferred_element_type=jnp.float32)
     dwe_ref[:] += jnp.dot(e_ref[:].T, d_op_c,
@@ -1243,7 +1244,9 @@ def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
         functools.partial(_fused_bwd_kernel_v3, node_block=node_block,
                           edge_tile=edge_tile, window_blocks=window_blocks),
         out_shape=(
-            jax.ShapeDtypeStruct((e_pad, de), jnp.float32),
+            # d_e in e_t's own dtype (bf16 when the model pre-casts) — the
+            # cotangent dtype must match the primal's
+            jax.ShapeDtypeStruct((e_pad, de), e_t.dtype),
             jax.ShapeDtypeStruct((d_in, h), jnp.float32),
             jax.ShapeDtypeStruct((de, h), jnp.float32),
         ) + tuple(jax.ShapeDtypeStruct((nb_pad, d_in), jnp.float32)
@@ -1287,11 +1290,14 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
 
     def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
         cd = gather_dtype
-        y_s = jnp.dot(x.astype(cd), w_s.astype(cd),
+        # gather the few overflow senders FIRST, then project — [Eo,d]@[d,H]
+        # instead of a full [N,d]@[d,H] whose rows are mostly unused
+        x_o = x.astype(cd)[ovf_s]
+        y_s = jnp.dot(x_o, w_s.astype(cd),
                       preferred_element_type=jnp.float32)
         y_e = jnp.dot(e_ovf.astype(cd), w_e.astype(cd),
                       preferred_element_type=jnp.float32)
-        op = y_s[ovf_s] + y_e
+        op = y_s + y_e
         return jnp.where(ovf_mask[:, None], op, _NEG)
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
@@ -1343,6 +1349,7 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
             num_nodes, node_block, edge_tile, window_blocks, interpret)
+        d_e_t = d_e_t.astype(e_t.dtype)   # cotangent dtype = primal dtype
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
         d_x = jnp.zeros((nb_pad, x.shape[1]), jnp.float32)
         for j, p in enumerate(parts):
@@ -1360,8 +1367,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
                                         num_segments=num_nodes)
         d_ws = d_ws + x[ovf_s].T @ d_op_o
-        d_we = d_we + e_ovf.T @ d_op_o
-        d_e_ovf = d_op_o @ w_e.T
+        d_we = d_we + e_ovf.astype(jnp.float32).T @ d_op_o
+        d_e_ovf = (d_op_o @ w_e.T).astype(e_ovf.dtype)
 
         return (d_x, d_ws, d_e_t, d_we, g_pass, d_e_ovf,
                 None, None, None, None, None, None, None)
