@@ -96,8 +96,10 @@ def main():
             csr_tiling = csr_tiling + (FUSED_WINDOW_BLOCKS, args.ovf_frac)
     loaders = {
         "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1,
+                                 cache_batches=True,
                                  csr_tiling=csr_tiling),
         "validate": GraphDataLoader(val_s, args.batch_size, False, 5, seed=1,
+                                    cache_batches=True,
                                     csr_tiling=csr_tiling),
     }
     # share buckets

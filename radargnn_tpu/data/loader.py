@@ -37,7 +37,7 @@ class GraphDataLoader:
                  max_nodes: Optional[int] = None,
                  max_edges: Optional[int] = None,
                  pad_align: int = 64, drop_last: bool = False,
-                 csr_tiling=None):
+                 csr_tiling=None, cache_batches: bool = False):
         if not samples:
             raise ValueError("empty sample list")
         self.samples = samples
@@ -51,6 +51,8 @@ class GraphDataLoader:
         self._rng = np.random.default_rng(seed)
         self._pad_cache: dict = {}
         self._empty: Optional[GraphSample] = None
+        self.cache_batches = cache_batches
+        self._batch_cache: Optional[List[GraphBatch]] = None
         # loader-level static roll-pass bound so every batch hits the same
         # compiled windowed-kernel executable
         self.roll_passes: Optional[int] = None
@@ -68,8 +70,24 @@ class GraphDataLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[GraphBatch]:
+        if self.cache_batches:
+            # stack + device-put every batch ONCE; later epochs iterate the
+            # device-resident batches (shuffle permutes batch ORDER, not
+            # membership — a documented trade-off that removes the
+            # per-epoch host->device transfer entirely)
+            if self._batch_cache is None:
+                self._batch_cache = list(self._iter_batches(shuffled=False))
+            idx = np.arange(len(self._batch_cache))
+            if self.shuffle:
+                self._rng.shuffle(idx)
+            for i in idx:
+                yield self._batch_cache[i]
+            return
+        yield from self._iter_batches(shuffled=self.shuffle)
+
+    def _iter_batches(self, shuffled: bool) -> Iterator[GraphBatch]:
         order = np.arange(len(self.samples))
-        if self.shuffle:
+        if shuffled:
             self._rng.shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idx = order[start:start + self.batch_size]

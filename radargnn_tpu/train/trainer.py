@@ -90,6 +90,10 @@ class Trainer:
         self.train_loss = []
         self.train_loss_cls = []
         self.train_loss_bb = []
+        # id(batch) -> valid-edge count: avoids pulling edge_mask from the
+        # device every dispatch just for the edges/s stats (expensive over
+        # a remote-TPU tunnel; device-cached loader batches hit this once)
+        self._edge_counts: dict = {}
         self.valid_loss = []
         self.model_lowest_valid: dict = {}
 
@@ -237,9 +241,13 @@ class Trainer:
                 self.state.opt_state, new_lr))
 
             if loss_valid <= min(self.valid_loss):
+                # keep the snapshot ON DEVICE: jax arrays are immutable, so
+                # holding the references is a zero-cost deepcopy (the
+                # reference's trainer.py:128-130 deep-copies host-side);
+                # device_get happens once in save_results
                 self.model_lowest_valid = {
-                    "params": jax.device_get(self.state.params),
-                    "batch_stats": jax.device_get(self.state.batch_stats),
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
                     "epoch": epoch}
 
             if verbose:
@@ -267,6 +275,14 @@ class Trainer:
             hours = (time.time() - start_time) / 3600
             print(f">>> Overall training duration: {round(hours, 2)} hours")
 
+    def _edges_in(self, batch) -> int:
+        key = id(batch)
+        v = self._edge_counts.get(key)
+        if v is None:
+            v = int(np.asarray(batch.edge_mask).sum())
+            self._edge_counts[key] = v
+        return v
+
     def _train_epoch(self, loader, verbose=False):
         from radargnn_tpu.utils.profiling import StepStats
 
@@ -281,8 +297,7 @@ class Trainer:
             if not pending:
                 return
             t0 = time.time()
-            num_edges = sum(int(np.asarray(b.edge_mask).sum())
-                            for b in pending)
+            num_edges = sum(self._edges_in(b) for b in pending)
             if len(pending) == 1:
                 self.state, losses = self._train_step(self.state, pending[0])
                 sums[:] += np.asarray(jax.device_get(losses))

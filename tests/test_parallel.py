@@ -114,3 +114,47 @@ def test_driver_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_halo_segment_reduce_matches_dense():
+    """Halo-exchange partitioning (boundary all_to_all + local/halo split)
+    must match the dense reference for max and sum aggregation."""
+    import jax.numpy as jnp
+    from radargnn_tpu.parallel.halo import build_halo_plan, halo_segment_reduce
+    from radargnn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    p, ns = 8, 16
+    n = p * ns
+    e = 600
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    mask = rng.random(e) < 0.9
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    ef = rng.normal(size=(e, 3)).astype(np.float32)
+
+    def message(xs, ee):
+        return xs * 1.5 + ee.sum(axis=-1, keepdims=True)
+
+    mesh = make_mesh({"model": p})
+    plan = build_halo_plan(senders, receivers, n, p, edge_mask=mask)
+
+    for reducer in ("max", "sum"):
+        got = np.asarray(halo_segment_reduce(
+            reducer, jnp.asarray(x), message, jnp.asarray(ef), plan, mesh))
+        want = np.zeros((n, 12), np.float32)
+        if reducer == "max":
+            acc = np.full((n, 12), -np.inf, np.float32)
+        else:
+            acc = np.zeros((n, 12), np.float32)
+        msg = np.asarray(message(x[senders], ef))
+        for i in range(e):
+            if not mask[i]:
+                continue
+            if reducer == "max":
+                acc[receivers[i]] = np.maximum(acc[receivers[i]], msg[i])
+            else:
+                acc[receivers[i]] += msg[i]
+        want = np.where(np.isinf(acc), 0.0, acc)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
+                                   err_msg=reducer)
