@@ -51,6 +51,9 @@ def main():
                         help="with --fused: windowed (v3) Morton tiling")
     parser.add_argument("--ovf-frac", type=float, default=0.05,
                         help="overflow-edge budget fraction for --windows")
+    parser.add_argument("--no-eval", action="store_true",
+                        help="skip the mAP/F1 evaluation stage (saves its "
+                             "compile time on remote-tunnel TPUs)")
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
@@ -116,6 +119,9 @@ def main():
     for ep, (lt, lv) in enumerate(zip(trainer.train_loss, trainer.valid_loss)):
         print(json.dumps({"epoch": ep + 1, "loss_train": round(float(lt), 4),
                           "loss_valid": round(float(lv), 4)}))
+
+    if args.no_eval:
+        return
 
     config = PostProcessingConfiguration(
         split="validate", iou_for_nms=0.01,

@@ -29,12 +29,8 @@ def main(path_to_graph_data: str, path_to_results: str,
         else jax.random.key(0)
 
     print(">>> loading data")
-    csr_tiling = None
-    if getattr(model_config, "use_fused_aggregation", False):
-        from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
-        )
-        csr_tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+    from radargnn_tpu.models.layers import fused_csr_tiling
+    csr_tiling = fused_csr_tiling(model_config)
     data_loaders, dataset_config_dict = get_data_loaders(
         ["train", "validate"], path_to_graph_data,
         training_config.batch_size, training_config.shuffle,
@@ -45,7 +41,8 @@ def main(path_to_graph_data: str, path_to_results: str,
     train_loader = data_loaders["train"]
     example = stack_samples(
         train_loader.samples[:1], train_loader.max_nodes,
-        training_config.bg_index, train_loader.max_edges)
+        training_config.bg_index, train_loader.max_edges,
+        csr_tiling=csr_tiling)
     model, variables = create_detnet_state(model_config, key, example)
 
     mesh = make_mesh(training_config.mesh_axes) \

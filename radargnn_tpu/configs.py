@@ -222,6 +222,12 @@ class GNNArchitectureConfig:
     # Use the fused Pallas max-aggregation kernel (requires CSR tiling in the
     # batch — loader csr_tiling=(128, 256) — and pre_layers==1, aggr "max").
     use_fused_aggregation: bool = False
+    # Tiling flavor for the fused path: "windowed" (v3 Morton-windowed
+    # kernels, the fast default) or "csr" (v2 sender-sorted backward).
+    fused_tiling: str = "windowed"
+    # Static overflow-edge budget fraction for the windowed tiling; raise if
+    # the loader reports "window overflow ... exceeds budget".
+    fused_overflow_fraction: float = 0.05
 
 
 @dataclass

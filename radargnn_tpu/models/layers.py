@@ -35,6 +35,19 @@ FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 512))
 FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 4))
 
 
+def fused_csr_tiling(model_config):
+    """Loader `csr_tiling` tuple for a GNNArchitectureConfig, or None when
+    the fused path is off. Single source of truth for CLI / benchmarks."""
+    if not getattr(model_config, "use_fused_aggregation", False):
+        return None
+    tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+    if getattr(model_config, "fused_tiling", "windowed") == "windowed":
+        tiling = tiling + (
+            FUSED_WINDOW_BLOCKS,
+            getattr(model_config, "fused_overflow_fraction", 0.05))
+    return tiling
+
+
 class _AggregationMixin:
     """Shared masked aggregation with the sorted-scatter and bfloat16
     fast paths (max aggregation is exact in bfloat16; sum/mean stay f32)."""

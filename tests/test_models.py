@@ -256,3 +256,27 @@ def test_detnet_radarscenes_config_shapes():
     cls, bb = model.apply(variables, nf, ef, s, r, nm, em, train=False)
     assert cls.shape == (24, 6)
     assert bb.shape == (24, 5)
+
+
+def test_fused_csr_tiling_from_config():
+    from radargnn_tpu.configs import GNNArchitectureConfig
+    from radargnn_tpu.models.layers import (
+        FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
+        fused_csr_tiling,
+    )
+
+    base = dict(node_feature_dimension=4, edge_feature_dimension=2,
+                conv_layer_dimensions=[8],
+                classification_head_layer_dimensions=[6],
+                regression_head_layer_dimensions=[5])
+    off = GNNArchitectureConfig(**base)
+    assert fused_csr_tiling(off) is None
+
+    win = GNNArchitectureConfig(**base, use_fused_aggregation=True,
+                                fused_overflow_fraction=0.03)
+    assert fused_csr_tiling(win) == (FUSED_NODE_BLOCK, FUSED_EDGE_TILE,
+                                     FUSED_WINDOW_BLOCKS, 0.03)
+
+    csr = GNNArchitectureConfig(**base, use_fused_aggregation=True,
+                                fused_tiling="csr")
+    assert fused_csr_tiling(csr) == (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
