@@ -39,7 +39,7 @@ FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 # windowed (v3) kernels: Morton node order + in-kernel windowed gathers;
 # 0 falls back to the v2 CSR tiling
 WINDOWS = os.environ.get("BENCH_WINDOWS", "1") == "1"
-OVF_FRAC = float(os.environ.get("BENCH_OVF_FRAC", "0.02"))
+OVF_FRAC = float(os.environ.get("BENCH_OVF_FRAC", "0.04"))
 
 
 def main():

@@ -32,7 +32,7 @@ FUSED_NODE_BLOCK = int(_os.environ.get("RADARGNN_FUSED_NODE_BLOCK", 256))
 FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 512))
 # sender-window width (in node blocks) for the windowed (v3) kernels; the
 # loader builds the matching tiling when given a 3-tuple csr_tiling
-FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 4))
+FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 3))
 
 
 def fused_csr_tiling(model_config):
