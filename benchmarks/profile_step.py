@@ -73,7 +73,7 @@ def main():
         if os.environ.get("BENCH_WINDOWS", "1") == "1":
             tiling = tiling + (FUSED_WINDOW_BLOCKS,
                                float(os.environ.get("BENCH_OVF_FRAC",
-                                                    "0.02")))
+                                                    "0.04")))
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=args.points, bg_index=5,
