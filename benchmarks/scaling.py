@@ -83,14 +83,25 @@ def run_mesh(n_devices: int, graphs_per_device: int, points: int, steps: int,
 
 
 def main():
-    import jax
-
     parser = argparse.ArgumentParser()
     parser.add_argument("--graphs-per-device", type=int, default=2)
     parser.add_argument("--points", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=4)
     parser.add_argument("--dtype", type=str, default="bfloat16")
+    parser.add_argument("--cpu", type=int, default=0, metavar="N",
+                        help="force an N-virtual-device CPU platform "
+                             "(env vars alone don't override the axon "
+                             "TPU tunnel's platform pin)")
     args = parser.parse_args()
+
+    if args.cpu:
+        _os.environ["XLA_FLAGS"] = (
+            _os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu}").strip()
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        import jax
 
     n = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n]
