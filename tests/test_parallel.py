@@ -158,3 +158,38 @@ def test_halo_segment_reduce_matches_dense():
         want = np.where(np.isinf(acc), 0.0, acc)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5,
                                    err_msg=reducer)
+
+
+def test_halo_reduce_expresses_mpnn_aggregation():
+    """The halo-exchange path must express MPNNConv's hoisted max
+    aggregation: inner[r] = max over e=(s,r) of (x[s]@W_s + e@W_e), i.e.
+    message_fn = affine sender projection + edge projection."""
+    import jax.numpy as jnp
+    from radargnn_tpu.parallel.halo import build_halo_plan, halo_segment_reduce
+    from radargnn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    p, ns, d, h, de = 8, 12, 6, 10, 3
+    n = p * ns
+    e = 400
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    ef = rng.normal(size=(e, de)).astype(np.float32)
+    w_s = rng.normal(size=(d, h)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32)
+
+    def message(xs, ee):
+        return xs @ w_s + ee @ w_e
+
+    mesh = make_mesh({"model": p})
+    plan = build_halo_plan(senders, receivers, n, p)
+    got = np.asarray(halo_segment_reduce(
+        "max", jnp.asarray(x), message, jnp.asarray(ef), plan, mesh))
+
+    msg = x[senders] @ w_s + ef @ w_e
+    want = np.full((n, h), -np.inf, np.float32)
+    for i in range(e):
+        want[receivers[i]] = np.maximum(want[receivers[i]], msg[i])
+    want = np.where(np.isinf(want), 0.0, want)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
