@@ -432,5 +432,11 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
         if roll_passes is None:
             roll_passes = roll_passes_bound(samples, geometry[1])
         geometry = geometry + (roll_passes,)
-    return GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()},
-                      tile_geometry=geometry)
+    valid_edges = int(sum(s.num_edges for s in samples))
+    batch = GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()},
+                       tile_geometry=geometry)
+    # host-side metadata (NOT a pytree field — set as a plain attribute so
+    # it never enters jit cache keys): lets the trainer report edges/s
+    # without pulling edge_mask back from the device
+    object.__setattr__(batch, "host_valid_edges", valid_edges)
+    return batch

@@ -276,6 +276,9 @@ class Trainer:
             print(f">>> Overall training duration: {round(hours, 2)} hours")
 
     def _edges_in(self, batch) -> int:
+        v = getattr(batch, "host_valid_edges", None)
+        if v is not None:
+            return v
         key = id(batch)
         v = self._edge_counts.get(key)
         if v is None:

@@ -118,3 +118,30 @@ def test_full_cli_pipeline(tmp_path):
                   plot_predictions=2)
     eval2 = os.path.join(model_folder, "evaluation_02")
     assert os.path.exists(os.path.join(eval2, "prediction_000.png"))
+
+
+def test_train_cli_fused_windowed(tmp_path):
+    """The YAML-exposed fused windowed path (use_fused_aggregation +
+    fused_tiling: windowed) must train end-to-end through the CLI."""
+    from radargnn_tpu.cli.create_dataset import main as create_main
+    from radargnn_tpu.cli.train import main as train_main
+
+    dataset_root = _make_dataset_root(tmp_path, num_train=2, num_val=1)
+    results = str(tmp_path / "results")
+    os.makedirs(results)
+    fused_yaml = CONFIG_YAML.format(epochs=1).replace(
+        "        batch_norm_in_mlps: False",
+        "        batch_norm_in_mlps: False\n"
+        "        use_fused_aggregation: True\n"
+        "        fused_tiling: \"windowed\"\n"
+        "        fused_overflow_fraction: 0.5\n"
+        "        assume_sorted_edges: True")
+    config_path = str(tmp_path / "config.yml")
+    with open(config_path, "w") as f:
+        f.write(fused_yaml)
+
+    create_main(dataset_root, config_path)
+    train_main(os.path.join(dataset_root, "processed"), results, config_path)
+    model_folder = os.path.join(results, "model_01")
+    assert os.path.exists(os.path.join(model_folder,
+                                       "trained_model.msgpack"))
