@@ -54,6 +54,11 @@ def main():
     parser.add_argument("--no-eval", action="store_true",
                         help="skip the mAP/F1 evaluation stage (saves its "
                              "compile time on remote-tunnel TPUs)")
+    parser.add_argument("--checkpoint-dir", type=str, default=None,
+                        help="save per-epoch training state here")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="resume from a checkpoint directory (run long "
+                             "trainings in command-timeout-sized chunks)")
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
@@ -115,7 +120,10 @@ def main():
                             csr_tiling=csr_tiling)
     model, variables = create_detnet_state(arch, key, example)
     trainer = Trainer(tcfg, model, variables)
-    trainer.fit(loaders, verbose=False)
+    if args.checkpoint_dir:
+        tcfg.checkpoint_every_epochs = 1
+    trainer.fit(loaders, verbose=False, resume_from=args.resume,
+                checkpoint_dir=args.checkpoint_dir)
     for ep, (lt, lv) in enumerate(zip(trainer.train_loss, trainer.valid_loss)):
         print(json.dumps({"epoch": ep + 1, "loss_train": round(float(lt), 4),
                           "loss_valid": round(float(lv), 4)}))
