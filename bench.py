@@ -32,7 +32,11 @@ import time
 A100_PYG_EDGES_PER_S = 7e6  # derived estimate, see module docstring
 
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 2816))
-GRAPHS = int(os.environ.get("BENCH_GRAPHS", 8))
+# batch of 5 frames = the reference's training batch size
+# (configuration_radarscenes.yml); also near the measured per-edge optimum
+# (batch sweep: 4 -> 9.21M, 5 -> 9.15M, 8 -> 9.01M, 12 -> 8.69M edges/s —
+# the x_g residual streams grow with batch and HBM pressure wins)
+GRAPHS = int(os.environ.get("BENCH_GRAPHS", 5))
 SCAN_STEPS = int(os.environ.get("BENCH_STEPS", 32))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 FUSED = os.environ.get("BENCH_FUSED", "1") == "1"

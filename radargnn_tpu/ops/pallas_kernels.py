@@ -716,14 +716,15 @@ def _fused_fwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
     # (Measured dead ends, docs/RESULTS.md: branching later rolls off via
     # per-tile pl.when + VMEM scratch ran 64% SLOWER — scratch roundtrips
     # beat the saved rolls; keep the register-resident static unroll.)
+    # column-oriented segment ids make each pass a select (2 VPU passes,
+    # no per-shift transpose relayout) — same change as the v3 kernel
+    localc = jnp.transpose(local2d)                            # [TE, 1]
     r = m
     shift = 1
     while shift < edge_tile:
-        l_roll = pltpu.roll(local2d, shift, axis=1)
-        match_col = jnp.transpose(
-            (l_roll == local2d).astype(jnp.float32))           # [TE, 1]
+        match = pltpu.roll(localc, shift, axis=0) == localc
         r_roll = pltpu.roll(r, shift, axis=0)
-        r = r + (jnp.maximum(r, r_roll) - r) * match_col
+        r = jnp.where(match, jnp.maximum(r, r_roll), r)
         shift *= 2
 
     # land each segment's last slot with a one-hot MXU matmul
