@@ -565,3 +565,59 @@ def test_windowed_tiling_handles_empty_padding_sample():
     # second batch holds one real + one empty sample
     assert int(np.asarray(batches[1].num_valid_nodes())) == 100
     assert batches[1].win_senders_local is not None
+
+
+def test_windowed_path_radius_graph_hub_degrees():
+    """Radius graphs have unbounded, highly variable in-degree (hubs) —
+    the windowed kernels' roll-pass bound and per-tile windows must stay
+    exact. Compares the fused windowed model forward+loss against the XLA
+    path on radius-built synthetic frames."""
+    import dataclasses
+
+    import jax
+
+    from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.data.synthetic import DEFAULT_GRAPH_CONFIG, make_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.train.trainer import Trainer, set_seeds
+
+    cfg = dataclasses.replace(
+        DEFAULT_GRAPH_CONFIG, graph_construction_algorithm="radius",
+        graph_construction_settings={"k": 20, "r": 18.0})
+    cfg.__post_init__()
+    samples = make_samples(num_frames=2, num_points=150, seed=5,
+                           graph_config=cfg)
+    deg = max(int(np.bincount(s.receivers, minlength=s.num_nodes).max())
+              for s in samples)
+    assert deg > 20, f"want hub degrees, got max {deg}"
+
+    losses = {}
+    for fused in (False, True):
+        arch = GNNArchitectureConfig(
+            node_feature_dimension=samples[0].node_feat.shape[1],
+            edge_feature_dimension=2, conv_layer_dimensions=[16],
+            classification_head_layer_dimensions=[6],
+            regression_head_layer_dimensions=[5],
+            conv_layer_type="MPNNConv",
+            initial_node_feature_embedding=False,
+            initial_edge_feature_embedding=False,
+            batch_norm_in_mlps=False, assume_sorted_edges=True,
+            use_fused_aggregation=fused)
+        tcfg = TrainingConfig(
+            dataset="radarscenes", learning_rate=1e-3, epochs=1, batch_size=2,
+            shuffle=False, bg_index=5, deterministic=True, seed=3)
+        key = set_seeds(3)
+        tiling = (32, 64, 2, 0.6) if fused else None
+        tr = GraphDataLoader(samples, 2, False, 5, seed=1, csr_tiling=tiling)
+        va = GraphDataLoader(samples, 2, False, 5, seed=1, csr_tiling=tiling)
+        batch = next(iter(tr))
+        model, variables = create_detnet_state(arch, key, batch)
+        trainer = Trainer(tcfg, model, variables)
+        trainer.fit({"train": tr, "validate": va}, verbose=False)
+        losses[fused] = (trainer.train_loss, trainer.valid_loss)
+
+    np.testing.assert_allclose(losses[True][0], losses[False][0],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(losses[True][1], losses[False][1],
+                               rtol=1e-3, atol=1e-4)
