@@ -280,6 +280,9 @@ def prepare_windowed_csr_tiles(senders: np.ndarray, receivers: np.ndarray,
     if len(ovf) > ovf_budget:
         raise ValueError(f"window overflow {len(ovf)} exceeds budget "
                          f"{ovf_budget}; increase window_blocks or budget")
+    # receiver-sorted so the XLA overflow path's segment ops take the
+    # sorted-scatter fast path
+    ovf = ovf[np.argsort(receivers[ovf], kind="stable")]
     ovf_idx = np.full(ovf_budget, -1, np.int64)
     ovf_idx[:len(ovf)] = ovf
 
