@@ -33,6 +33,10 @@ FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 512))
 # sender-window width (in node blocks) for the windowed (v3) kernels; the
 # loader builds the matching tiling when given a 3-tuple csr_tiling
 FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 3))
+# round aggregated maxima to bf16 inside the windowed kernels (forward
+# landing + backward inner gather ride the bf16 MXU; gradient ties broaden
+# to bf16 resolution — see make_fused_hoisted_aggregate_v3)
+FUSED_BF16_MAX = _os.environ.get("RADARGNN_FUSED_BF16_MAX", "0") == "1"
 
 
 def fused_csr_tiling(model_config):
@@ -131,7 +135,8 @@ class MPNNConv(_AggregationMixin, nn.Module):
                 fused = make_fused_hoisted_aggregate_v3(
                     num_nodes, tiling.node_block, tiling.edge_tile,
                     window_blocks=pmask.shape[0],
-                    roll_passes=tiling.roll_passes)
+                    roll_passes=tiling.roll_passes,
+                    bf16_max=FUSED_BF16_MAX)
                 aggr = fused(x, w_s, tiling.edge_feat,
                              w_e.astype(jnp.float32), y_r + bias, ovf_e,
                              tiling.receivers, tiling.blocks, t_win, sloc,

@@ -999,7 +999,8 @@ def _window_eq(sloc_row, edge_tile, width, dtype):
 
 def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
-                         roll_limit: int, save_xg: bool):
+                         roll_limit: int, save_xg: bool,
+                         bf16_land: bool = False):
     x_parts = refs[:window_blocks]
     ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[window_blocks:
                                                      window_blocks + 5]
@@ -1013,6 +1014,10 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     def _():
         o_ref[:] = jnp.full_like(o_ref, _NEG)
 
+    # NOTE (measured): gating this gather per window part with lax.cond on
+    # a host bitmask (skip empty parts' one-hot build + dot) was 12% SLOWER
+    # end-to-end — Mosaic branch overhead + losing the single wide MXU dot
+    # swamp the ~32% skippable work. Keep the ungated wide one-hot matmul.
     xw = jnp.concatenate([p[:] for p in x_parts], axis=0)     # [W, d_in]
     sloc2d = sloc_ref[pl.ds(t, 1), :]                          # [1, TE]
     eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)
@@ -1043,19 +1048,26 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
 
     nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
+    # bf16_land: the landing matmul SELECTS one rolled max per node (eq has
+    # at most one 1 per row within a tile) — exact in bf16 — so the rolled
+    # f32 maxima can be rounded to bf16 once and the [TN,TE]@[TE,H] landing
+    # rides the bf16 MXU rate. The rounded maxima are what the backward
+    # compares against (exact bf16 equality, see _fused_bwd_kernel_v3).
+    land_t = jnp.bfloat16 if bf16_land else jnp.float32
     is_last = jnp.logical_or(local2d != nxt,
-                             col == edge_tile - 1).astype(jnp.float32)
+                             col == edge_tile - 1).astype(land_t)
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
-          ).astype(jnp.float32) * is_last
-    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
-    has = jnp.sum(eq, axis=1, keepdims=True)
+          ).astype(land_t) * is_last
+    sums = jnp.dot(eq, r.astype(land_t), preferred_element_type=jnp.float32)
+    has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
 
 
 def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
-                         node_block: int, edge_tile: int, window_blocks: int):
+                         node_block: int, edge_tile: int, window_blocks: int,
+                         bf16_cmp: bool = False):
     wb = window_blocks
     (xg_ref, ws_ref, e_ref, we_ref, recv_ref, sloc_ref, inner_ref,
      g_ref) = refs[:8]
@@ -1091,21 +1103,41 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
 
     local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block
-    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
-    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
-          ).astype(jnp.float32)                                # [TN, TE]
-    inner_at_e = jnp.dot(eq.T, inner_ref[:],
-                         preferred_element_type=jnp.float32)
-    # gradients tolerate bf16: a 0/1 one-hot is exact in bf16 and the
-    # upstream g rides bf16 matmuls elsewhere — halves this matmul's cost.
-    # Built transposed directly from iota (no relayout).
-    ncols = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, node_block), 1)
-    eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
+    if bf16_cmp:
+        # inner holds bf16-rounded maxima (forward bf16_land): gather it
+        # with the bf16 one-hot built for g_at_e below (exact selection)
+        # and route gradients by EXACT bf16 equality — edges within bf16
+        # rounding of the max share the gradient (a valid max subgradient;
+        # XLA's f32 tie semantics broadened to bf16 resolution).
+        ncols = jax.lax.broadcasted_iota(jnp.int32,
+                                         (edge_tile, node_block), 1)
+        eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
+        inner_at_e = jnp.dot(eq_t_c, inner_ref[:].astype(x_g.dtype),
+                             preferred_element_type=jnp.float32)
+        has_recv = (jnp.transpose(local2d) >= 0).astype(jnp.float32)
+        # Mosaic has no bf16 vector compare — round the operand to bf16 and
+        # compare in f32 (inner_at_e already holds exactly-bf16 values in
+        # f32, so f32 equality is exact bf16 equality)
+        op16 = operand.astype(jnp.bfloat16).astype(jnp.float32)
+        sel = (op16 == inner_at_e).astype(jnp.float32)
+    else:
+        rows = jax.lax.broadcasted_iota(jnp.int32,
+                                        (node_block, edge_tile), 0)
+        eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
+              ).astype(jnp.float32)                            # [TN, TE]
+        inner_at_e = jnp.dot(eq.T, inner_ref[:],
+                             preferred_element_type=jnp.float32)
+        # gradients tolerate bf16: a 0/1 one-hot is exact in bf16 and the
+        # upstream g rides bf16 matmuls elsewhere — halves this matmul's
+        # cost. Built transposed directly from iota (no relayout).
+        ncols = jax.lax.broadcasted_iota(jnp.int32,
+                                         (edge_tile, node_block), 1)
+        eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
+        has_recv = jnp.sum(eq, axis=0)[:, None]
+        sel = (jnp.abs(operand - inner_at_e)
+               <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
     g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(x_g.dtype),
                      preferred_element_type=jnp.float32)
-    has_recv = jnp.sum(eq, axis=0)[:, None]
-    sel = (jnp.abs(operand - inner_at_e)
-           <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
     d_op = sel * has_recv * g_at_e                             # [TE, H]
 
     d_op_c = d_op.astype(x_g.dtype)
@@ -1119,6 +1151,10 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     dwe_ref[:] += jnp.dot(e_ref[:].T, d_op_c,
                           preferred_element_type=jnp.float32)
 
+    # NOTE (measured): gating this landing per window part with pl.when
+    # (skipping empty parts' one-hot + dot) was ~2% slower, and gating the
+    # forward gather with lax.cond 12% slower — one wide one-hot MXU dot
+    # beats any per-part split despite ~32% of part-dots being empty.
     dxw = jnp.dot(eq_s.T, d_xg.astype(x_g.dtype),
                   preferred_element_type=jnp.float32)          # [W, d_in]
     for j, dxp in enumerate(dx_parts):
@@ -1152,7 +1188,7 @@ def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
 def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, num_nodes, node_block,
                        edge_tile, window_blocks, interpret,
-                       roll_limit=None, save_xg=False):
+                       roll_limit=None, save_xg=False, bf16_land=False):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -1162,7 +1198,8 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
     nblocks_pad = nb_pad // node_block
     xp = jnp.pad(x_c, ((0, nb_pad - n_pad_in), (0, 0)))
 
-    out_specs = pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
+    out_specs = pl.BlockSpec((node_block, h),
+                             lambda i, tb, tw: (tb[i], 0),
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((nb_pad, h), jnp.float32)
     if save_xg:
@@ -1183,7 +1220,7 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
         functools.partial(_fused_fwd_kernel_v3, node_block=node_block,
                           edge_tile=edge_tile, window_blocks=window_blocks,
                           roll_limit=roll_limit or edge_tile,
-                          save_xg=save_xg),
+                          save_xg=save_xg, bf16_land=bf16_land),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1197,7 +1234,8 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
 
 def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, inner, g, num_nodes,
-                       node_block, edge_tile, window_blocks, interpret):
+                       node_block, edge_tile, window_blocks, interpret,
+                       bf16_cmp=False):
     d_in = xg_stream.shape[1]
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -1206,6 +1244,10 @@ def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
     nb_pad = -(-num_nodes // node_block) * node_block
     nblocks_pad = nb_pad // node_block
     inner_p = jnp.pad(inner, ((0, nb_pad - num_nodes), (0, 0)))
+    if bf16_cmp:
+        # inner holds bf16-rounded maxima; shipping it bf16 halves the
+        # per-tile VMEM fetch and the in-kernel gather rides the bf16 MXU
+        inner_p = inner_p.astype(jnp.bfloat16)
     g_p = jnp.pad(g, ((0, nb_pad - num_nodes), (0, 0)))
 
     in_specs = [
@@ -1246,7 +1288,8 @@ def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
         out_specs=out_specs)
     outs = pl.pallas_call(
         functools.partial(_fused_bwd_kernel_v3, node_block=node_block,
-                          edge_tile=edge_tile, window_blocks=window_blocks),
+                          edge_tile=edge_tile, window_blocks=window_blocks,
+                          bf16_cmp=bf16_cmp),
         out_shape=(
             # d_e in e_t's own dtype (bf16 when the model pre-casts) — the
             # cotangent dtype must match the primal's
@@ -1269,7 +1312,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     edge_tile: int = 256,
                                     window_blocks: int = 4,
                                     interpret: Optional[bool] = None,
-                                    roll_passes: Optional[int] = None):
+                                    roll_passes: Optional[int] = None,
+                                    bf16_max: bool = False):
     """Windowed fused max-aggregation (see module section comment).
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
@@ -1283,6 +1327,13 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
     marks which node blocks each backward dx part actually visited (host
     metadata) — unvisited blocks are dropped with jnp.where, which is safe
     against uninitialized-garbage NaNs where a multiply would not be.
+
+    bf16_max rounds the aggregated maxima to bfloat16: the forward landing
+    and the backward inner-gather matmuls (the two largest f32 matmuls of
+    the step) ride the bf16 MXU rate, and gradient routing becomes exact
+    bf16 equality — edges whose message rounds to the same bf16 as the max
+    share the gradient (a valid subgradient; f32 tie semantics broadened to
+    bf16 resolution).
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -1302,6 +1353,10 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         y_e = jnp.dot(e_ovf.astype(cd), w_e.astype(cd),
                       preferred_element_type=jnp.float32)
         op = y_s + y_e
+        if bf16_max:
+            # keep every max candidate bf16-representable so the backward's
+            # exact-bf16-equality routing sees consistent values
+            op = op.astype(jnp.bfloat16).astype(jnp.float32)
         return jnp.where(ovf_mask[:, None], op, _NEG)
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
@@ -1312,7 +1367,7 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
             node_block, edge_tile, window_blocks, interpret,
-            roll_limit=roll_limit, save_xg=save_xg)
+            roll_limit=roll_limit, save_xg=save_xg, bf16_land=bf16_max)
         inner_win, xg_stream = res if save_xg else (res, None)
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
@@ -1352,7 +1407,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             xg_stream, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
-            num_nodes, node_block, edge_tile, window_blocks, interpret)
+            num_nodes, node_block, edge_tile, window_blocks, interpret,
+            bf16_cmp=bf16_max)
         d_e_t = d_e_t.astype(e_t.dtype)   # cotangent dtype = primal dtype
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
         d_x = jnp.zeros((nb_pad, x.shape[1]), jnp.float32)
@@ -1364,9 +1420,14 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
-        sel_o = ovf_mask[:, None] & (
-            jnp.abs(op_o - inner_z[ovf_r_c])
-            <= 1e-5 * jnp.abs(inner_z[ovf_r_c]) + 1e-5)
+        if bf16_max:
+            sel_o = ovf_mask[:, None] & (
+                op_o.astype(jnp.bfloat16)
+                == inner_z[ovf_r_c].astype(jnp.bfloat16))
+        else:
+            sel_o = ovf_mask[:, None] & (
+                jnp.abs(op_o - inner_z[ovf_r_c])
+                <= 1e-5 * jnp.abs(inner_z[ovf_r_c]) + 1e-5)
         d_op_o = jnp.where(sel_o, g_pass[ovf_r_c], 0.0)
         d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
                                         num_segments=num_nodes)

@@ -621,3 +621,89 @@ def test_windowed_path_radius_graph_hub_degrees():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(losses[True][1], losses[False][1],
                                rtol=1e-3, atol=1e-4)
+
+
+def test_fused_hoisted_aggregate_v3_bf16_max_semantics():
+    """bf16_max rounds aggregated maxima to bf16 and routes gradients by
+    exact bf16 equality. A straight-through jnp reference replicates those
+    semantics precisely (bf16 rounding is monotone, so bf16(max over all
+    edges) equals the kernel's window/overflow max combine), so forward AND
+    gradients must match it tightly — including edges tied at bf16
+    resolution sharing the gradient."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate_v3, prepare_windowed_csr_tiles,
+        window_part_mask,
+    )
+
+    rng = np.random.default_rng(31)
+    n, e, d_in, de, h = 96, 500, 24, 8, 32
+    node_block, edge_tile, wb = 16, 32, 2
+
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    w_s = rng.normal(size=(d_in, h)).astype(np.float32) * 0.3
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.3
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    (perm, tile_blocks, padded_recv, senders_local, tile_win,
+     ovf_idx) = prepare_windowed_csr_tiles(
+        senders, receivers, mask, n, node_block, edge_tile, wb,
+        ovf_budget=-(-e // edge_tile) * edge_tile)
+    assert (ovf_idx >= 0).sum() > 20, "test should exercise overflow"
+    nblocks = -(-n // node_block)
+    pmask = window_part_mask(tile_win, nblocks, wb)
+
+    e_t = e_feat[perm]
+    ovf_valid = ovf_idx >= 0
+    ovf_s = np.where(ovf_valid, senders[np.maximum(ovf_idx, 0)], 0)
+    ovf_r = np.where(ovf_valid, receivers[np.maximum(ovf_idx, 0)], -1)
+    e_ovf = np.where(ovf_valid[:, None],
+                     e_feat[np.maximum(ovf_idx, 0)], 0.0).astype(np.float32)
+
+    fused = make_fused_hoisted_aggregate_v3(n, node_block, edge_tile, wb,
+                                            bf16_max=True)
+    consts = tuple(map(jnp.asarray, (padded_recv, tile_blocks, tile_win,
+                                     senders_local, pmask, ovf_s, ovf_r)))
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_, e_ovf_):
+        return fused(x_, w_s_, e_t_, w_e_, offset_, e_ovf_, *consts)
+
+    r_j = jnp.asarray(receivers)
+    m_j = jnp.asarray(mask)
+
+    def f_ref(x_, w_s_, e_feat_, w_e_, offset_):
+        op = (x_ @ w_s_)[jnp.asarray(senders)] + e_feat_ @ w_e_
+        neg = jnp.float32(-3.0e38)
+        op_m = jnp.where(m_j[:, None], op, neg)
+        inner = jax.lax.stop_gradient(
+            jax.ops.segment_max(op_m, r_j, num_segments=n))
+        inner16 = inner.astype(jnp.bfloat16).astype(jnp.float32)
+        # straight-through: value = bf16-rounded max; gradient flows to
+        # every edge whose operand rounds to that bf16 (the kernel's sel)
+        eqm = m_j[:, None] & (op.astype(jnp.bfloat16)
+                              == inner16[r_j].astype(jnp.bfloat16))
+        flow = jax.ops.segment_sum(
+            jnp.where(eqm, op - jax.lax.stop_gradient(op), 0.0), r_j,
+            num_segments=n)
+        has = inner > neg / 2
+        return jnp.where(has, offset_ + inner16 + flow, 0.0)
+
+    args_p = tuple(map(jnp.asarray, (x, w_s, e_t, w_e, offset, e_ovf)))
+    args_x = tuple(map(jnp.asarray, (x, w_s, e_feat, w_e, offset)))
+
+    np.testing.assert_allclose(np.asarray(f_pallas(*args_p)),
+                               np.asarray(f_ref(*args_x)),
+                               rtol=1e-6, atol=1e-6)
+
+    g_p = jax.grad(lambda *a: (f_pallas(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *a: (f_ref(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, a, bb_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=1e-4, atol=1e-4, err_msg=nm)
