@@ -21,6 +21,9 @@ MLPs → ≈ 23 TFLOP/s / 3.3 MFLOP ≈ 7e6 edges/s. `vs_baseline` is
 edges_per_s / 7e6 (target ≥ 5).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+BENCH_MODE=infer measures the serving path instead (jitted batched forward
++ softmax, the Predictor's device work) as infer_edges_per_s.
 """
 
 from __future__ import annotations
@@ -119,6 +122,35 @@ def main():
 
         return jax.lax.scan(body, state, noise)
 
+    valid_edges = GRAPHS * NUM_POINTS * k
+    if os.environ.get("BENCH_MODE", "train") == "infer":
+        # serving path: jitted batched forward + softmax (no optimizer,
+        # no grads) — the Predictor's device work (postprocess.inference)
+        @jax.jit
+        def run_infer(variables, batch, noise):
+            def body(_, eps):
+                b = batch.replace(node_feat=batch.node_feat + eps)
+                (cls, bb), _ = model.apply_to_batch(
+                    variables, b, train=True, mutable=["batch_stats"])
+                return 0, (jax.nn.softmax(cls, axis=-1).sum(), bb.sum())
+            return jax.lax.scan(body, 0, noise)[1]
+
+        infer_vars = {"params": trainer.state.params,
+                      "batch_stats": trainer.state.batch_stats}
+        checks = jax.device_get(run_infer(infer_vars, batch, noise))
+        t0 = time.perf_counter()
+        checks = jax.device_get(run_infer(infer_vars, batch, noise))
+        dt = time.perf_counter() - t0
+        assert all(np.isfinite(c).all() for c in checks)
+        edges_per_s = valid_edges * SCAN_STEPS / dt
+        print(json.dumps({
+            "metric": "infer_edges_per_s",
+            "value": round(edges_per_s, 1),
+            "unit": "edges/s/chip",
+            "vs_baseline": round(edges_per_s / A100_PYG_EDGES_PER_S, 3),
+        }))
+        return
+
     state, losses = run_epoch(trainer.state, batch, noise)
     jax.device_get(losses)                      # warmup + compile sync
 
@@ -128,7 +160,6 @@ def main():
     dt = time.perf_counter() - t0
 
     assert np.isfinite(losses).all()
-    valid_edges = GRAPHS * NUM_POINTS * k
     edges_per_s = valid_edges * SCAN_STEPS / dt
 
     print(json.dumps({

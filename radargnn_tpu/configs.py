@@ -228,6 +228,12 @@ class GNNArchitectureConfig:
     # Static overflow-edge budget fraction for the windowed tiling; raise if
     # the loader reports "window overflow ... exceeds budget".
     fused_overflow_fraction: float = 0.05
+    # Backward-only bf16 max-gradient routing in the windowed kernels: the
+    # backward gathers bf16(inner) (its largest f32 matmul rides the bf16
+    # MXU, +1.3% measured) and messages within bf16 rounding of the max
+    # share the gradient (valid subgradient; forward stays exact f32).
+    # Env override: RADARGNN_FUSED_BF16_MAX=0|1.
+    fused_bf16_max: bool = True
 
 
 @dataclass

@@ -109,6 +109,7 @@ class DetNet(nn.Module):
                              post_layers=cfg.conv_post_mlp_layer_number,
                              use_edge_encoder=cfg.conv_use_edge_encoder,
                              dtype=dtype, sorted_edges=sorted_edges,
+                             bf16_max=getattr(cfg, "fused_bf16_max", True),
                              name=f"conv_{i}")(x, senders, receivers, e,
                                                edge_mask, sender_csr, tiling)
             elif cfg.conv_layer_type == "RadarPointGNNConv":

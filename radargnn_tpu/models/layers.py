@@ -33,10 +33,10 @@ FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 512))
 # sender-window width (in node blocks) for the windowed (v3) kernels; the
 # loader builds the matching tiling when given a 3-tuple csr_tiling
 FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 3))
-# round aggregated maxima to bf16 inside the windowed kernels (forward
-# landing + backward inner gather ride the bf16 MXU; gradient ties broaden
-# to bf16 resolution — see make_fused_hoisted_aggregate_v3)
-FUSED_BF16_MAX = _os.environ.get("RADARGNN_FUSED_BF16_MAX", "0") == "1"
+# backward-only bf16 max-gradient routing in the windowed kernels (see
+# make_fused_hoisted_aggregate_v3); None = follow the model config
+# (fused_bf16_max, default on), "0"/"1" forces it off/on for experiments
+_BF16_MAX_ENV = _os.environ.get("RADARGNN_FUSED_BF16_MAX")
 
 
 def fused_csr_tiling(model_config):
@@ -80,6 +80,7 @@ class MPNNConv(_AggregationMixin, nn.Module):
     use_edge_encoder: bool = False
     dtype: str = "float32"
     sorted_edges: bool = False      # receivers non-decreasing (loader layout)
+    bf16_max: bool = True           # windowed kernels: bf16 backward routing
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
@@ -132,11 +133,13 @@ class MPNNConv(_AggregationMixin, nn.Module):
                     make_fused_hoisted_aggregate_v3,
                 )
                 sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+                bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
+                    else _BF16_MAX_ENV == "1"
                 fused = make_fused_hoisted_aggregate_v3(
                     num_nodes, tiling.node_block, tiling.edge_tile,
                     window_blocks=pmask.shape[0],
                     roll_passes=tiling.roll_passes,
-                    bf16_max=FUSED_BF16_MAX)
+                    bf16_max=bf16_max)
                 aggr = fused(x, w_s, tiling.edge_feat,
                              w_e.astype(jnp.float32), y_r + bias, ovf_e,
                              tiling.receivers, tiling.blocks, t_win, sloc,

@@ -999,8 +999,7 @@ def _window_eq(sloc_row, edge_tile, width, dtype):
 
 def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
-                         roll_limit: int, save_xg: bool,
-                         bf16_land: bool = False):
+                         roll_limit: int, save_xg: bool):
     x_parts = refs[:window_blocks]
     ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[window_blocks:
                                                      window_blocks + 5]
@@ -1048,19 +1047,18 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
 
     nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
-    # bf16_land: the landing matmul SELECTS one rolled max per node (eq has
-    # at most one 1 per row within a tile) — exact in bf16 — so the rolled
-    # f32 maxima can be rounded to bf16 once and the [TN,TE]@[TE,H] landing
-    # rides the bf16 MXU rate. The rounded maxima are what the backward
-    # compares against (exact bf16 equality, see _fused_bwd_kernel_v3).
-    land_t = jnp.bfloat16 if bf16_land else jnp.float32
+    # NOTE (measured): a bf16 landing here (cast r after the rolls, land in
+    # bf16 — exact, the landing selects single values) was NEUTRAL overall:
+    # this kernel is VPU-bound by the roll loop (MXU runs underneath), so
+    # cutting the landing's MXU cost buys nothing and the [TE,H] cast adds
+    # to the critical path. Keep the landing f32.
     is_last = jnp.logical_or(local2d != nxt,
-                             col == edge_tile - 1).astype(land_t)
+                             col == edge_tile - 1).astype(jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
-          ).astype(land_t) * is_last
-    sums = jnp.dot(eq, r.astype(land_t), preferred_element_type=jnp.float32)
-    has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
+          ).astype(jnp.float32) * is_last
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+    has = jnp.sum(eq, axis=1, keepdims=True)
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
 
@@ -1104,11 +1102,13 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
 
     local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block
     if bf16_cmp:
-        # inner holds bf16-rounded maxima (forward bf16_land): gather it
-        # with the bf16 one-hot built for g_at_e below (exact selection)
-        # and route gradients by EXACT bf16 equality — edges within bf16
-        # rounding of the max share the gradient (a valid max subgradient;
-        # XLA's f32 tie semantics broadened to bf16 resolution).
+        # inner_ref holds bf16(inner) (cast once outside; the forward max
+        # stays exact f32). Gather it with a bf16 one-hot (exact selection,
+        # bf16 MXU rate — this gather was 28% of the backward's MXU work in
+        # f32) and route gradients by exact bf16 equality: inner IS the
+        # argmax edge's operand, so bf16(op) == bf16(inner) at the argmax;
+        # edges within bf16 rounding of the max share the gradient (a valid
+        # subgradient; f32 tie semantics broadened to bf16 resolution).
         ncols = jax.lax.broadcasted_iota(jnp.int32,
                                          (edge_tile, node_block), 1)
         eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
@@ -1188,7 +1188,7 @@ def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
 def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, num_nodes, node_block,
                        edge_tile, window_blocks, interpret,
-                       roll_limit=None, save_xg=False, bf16_land=False):
+                       roll_limit=None, save_xg=False):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -1220,7 +1220,7 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
         functools.partial(_fused_fwd_kernel_v3, node_block=node_block,
                           edge_tile=edge_tile, window_blocks=window_blocks,
                           roll_limit=roll_limit or edge_tile,
-                          save_xg=save_xg, bf16_land=bf16_land),
+                          save_xg=save_xg),
         out_shape=out_shape,
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1328,12 +1328,13 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
     metadata) — unvisited blocks are dropped with jnp.where, which is safe
     against uninitialized-garbage NaNs where a multiply would not be.
 
-    bf16_max rounds the aggregated maxima to bfloat16: the forward landing
-    and the backward inner-gather matmuls (the two largest f32 matmuls of
-    the step) ride the bf16 MXU rate, and gradient routing becomes exact
-    bf16 equality — edges whose message rounds to the same bf16 as the max
-    share the gradient (a valid subgradient; f32 tie semantics broadened to
-    bf16 resolution).
+    bf16_max (backward-only): the backward's inner-gather matmul — the
+    largest f32 matmul of the MXU-bound backward kernel — rides the bf16
+    MXU by gathering bf16(inner), and gradient routing becomes exact bf16
+    equality (inner is the argmax operand, so the argmax always matches;
+    edges whose message rounds to the same bf16 share the gradient — a
+    valid subgradient, f32 tie semantics broadened to bf16 resolution).
+    The forward max and outputs stay exact f32.
     """
     if interpret is None:
         interpret = _interpret_default()
@@ -1353,10 +1354,6 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         y_e = jnp.dot(e_ovf.astype(cd), w_e.astype(cd),
                       preferred_element_type=jnp.float32)
         op = y_s + y_e
-        if bf16_max:
-            # keep every max candidate bf16-representable so the backward's
-            # exact-bf16-equality routing sees consistent values
-            op = op.astype(jnp.bfloat16).astype(jnp.float32)
         return jnp.where(ovf_mask[:, None], op, _NEG)
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
@@ -1367,7 +1364,7 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
             node_block, edge_tile, window_blocks, interpret,
-            roll_limit=roll_limit, save_xg=save_xg, bf16_land=bf16_max)
+            roll_limit=roll_limit, save_xg=save_xg)
         inner_win, xg_stream = res if save_xg else (res, None)
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)

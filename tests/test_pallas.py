@@ -624,12 +624,11 @@ def test_windowed_path_radius_graph_hub_degrees():
 
 
 def test_fused_hoisted_aggregate_v3_bf16_max_semantics():
-    """bf16_max rounds aggregated maxima to bf16 and routes gradients by
-    exact bf16 equality. A straight-through jnp reference replicates those
-    semantics precisely (bf16 rounding is monotone, so bf16(max over all
-    edges) equals the kernel's window/overflow max combine), so forward AND
-    gradients must match it tightly — including edges tied at bf16
-    resolution sharing the gradient."""
+    """bf16_max (backward-only): the forward stays exact f32; the backward
+    gathers bf16(inner) and routes gradients by exact bf16 equality. A
+    straight-through jnp reference replicates those semantics precisely, so
+    forward AND gradients must match it tightly — including edges tied at
+    bf16 resolution sharing the gradient."""
     import jax
 
     from radargnn_tpu.ops.pallas_kernels import (
@@ -683,15 +682,16 @@ def test_fused_hoisted_aggregate_v3_bf16_max_semantics():
         inner = jax.lax.stop_gradient(
             jax.ops.segment_max(op_m, r_j, num_segments=n))
         inner16 = inner.astype(jnp.bfloat16).astype(jnp.float32)
-        # straight-through: value = bf16-rounded max; gradient flows to
-        # every edge whose operand rounds to that bf16 (the kernel's sel)
+        # straight-through: forward value = exact f32 max; gradient flows
+        # to every edge whose operand bf16-rounds to bf16(inner) (the
+        # kernel's backward sel)
         eqm = m_j[:, None] & (op.astype(jnp.bfloat16)
                               == inner16[r_j].astype(jnp.bfloat16))
         flow = jax.ops.segment_sum(
             jnp.where(eqm, op - jax.lax.stop_gradient(op), 0.0), r_j,
             num_segments=n)
         has = inner > neg / 2
-        return jnp.where(has, offset_ + inner16 + flow, 0.0)
+        return jnp.where(has, offset_ + inner + flow, 0.0)
 
     args_p = tuple(map(jnp.asarray, (x, w_s, e_t, w_e, offset, e_ovf)))
     args_x = tuple(map(jnp.asarray, (x, w_s, e_feat, w_e, offset)))
