@@ -46,7 +46,9 @@ FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 # windowed (v3) kernels: Morton node order + in-kernel windowed gathers;
 # 0 falls back to the v2 CSR tiling
 WINDOWS = os.environ.get("BENCH_WINDOWS", "1") == "1"
-OVF_FRAC = float(os.environ.get("BENCH_OVF_FRAC", "0.04"))
+# 3% fits the flagship clouds' actual window overflow (~2.9%) and beats 4%
+# by ~2% end-to-end (smaller padded overflow arrays in the XLA path)
+OVF_FRAC = float(os.environ.get("BENCH_OVF_FRAC", "0.03"))
 
 
 def main():
