@@ -198,3 +198,32 @@ def test_lr_schedule_updates_without_recompile():
     trainer.fit(loaders, verbose=False)
     lr = float(trainer.state.opt_state.hyperparams["learning_rate"])
     assert lr == pytest.approx(3e-3 * 0.95 ** 3, rel=1e-5)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: save_train_state(backend="orbax") writes sharded
+    jax.Arrays directly (the multi-host production path); load_train_state
+    auto-detects the format and restores identical state."""
+    import jax
+
+    from radargnn_tpu.train import checkpoint as ckpt
+
+    trainer, loaders, _ = _tiny_setup(epochs=1)
+    trainer.fit(loaders, verbose=False)
+    st = trainer.state
+    folder = str(tmp_path / "orbax_ckpt")
+    ckpt.save_train_state(
+        folder, params=st.params, batch_stats=st.batch_stats,
+        opt_state=st.opt_state, epoch=1,
+        losses={"train": list(map(float, trainer.train_loss))},
+        scheduler_lr=3e-3, backend="orbax")
+    assert os.path.isdir(os.path.join(folder, "orbax"))
+    assert not os.path.exists(os.path.join(folder, "model.msgpack"))
+
+    model, opt_sd, meta = ckpt.load_train_state(folder, st.opt_state)
+    assert meta["epoch"] == 1 and meta["scheduler_lr"] == 3e-3
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), model["params"], st.params)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)),
+        jax.tree.leaves(opt_sd), jax.tree.leaves(st.opt_state))
