@@ -24,6 +24,20 @@ def main():
     import numpy as np
     import jax
 
+    # persistent compilation cache (same setup as bench.py). Note: the axon
+    # remote-compile tunnel does not hit this cache across processes — for
+    # long trainings prefer ONE process over many resume chunks; the cache
+    # still helps CPU runs and native-libtpu environments.
+    cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
     from radargnn_tpu.configs import (
         GNNArchitectureConfig, PostProcessingConfiguration, TrainingConfig,
     )
