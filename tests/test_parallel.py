@@ -193,3 +193,60 @@ def test_halo_reduce_expresses_mpnn_aggregation():
         want[receivers[i]] = np.maximum(want[receivers[i]], msg[i])
     want = np.where(np.isinf(want), 0.0, want)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_windowed_matches_dense():
+    """Halo partitioning composed with the windowed Pallas kernels
+    (parallel/halo_windowed.py): per-shard local edges run through the
+    fused v3 tiles, halo + window-overflow edges through its XLA overflow
+    list, boundary features via one all_to_all. Forward AND gradients must
+    match the dense single-device hoisted formulation."""
+    import jax
+    import jax.numpy as jnp
+
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+    from radargnn_tpu.parallel.halo_windowed import (
+        build_halo_windowed_plan, halo_windowed_hoisted_max,
+    )
+    from radargnn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    n, e, d, de, h = 64, 400, 12, 6, 16
+    shards = 4
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w_s = rng.normal(size=(d, h)).astype(np.float32) * 0.4
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.4
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    plan = build_halo_windowed_plan(senders, receivers, n, shards,
+                                    node_block=8, edge_tile=16,
+                                    window_blocks=2, edge_mask=mask,
+                                    ovf_frac=0.6)
+    assert (plan.halo.halo_senders >= 0).sum() > 20, "need halo traffic"
+    mesh = make_mesh({"model": shards})
+
+    def f_sharded(x_, w_s_, e_, w_e_, off_):
+        return halo_windowed_hoisted_max(x_, w_s_, e_, w_e_, off_, plan,
+                                         mesh)
+
+    def f_dense(x_, w_s_, e_, w_e_, off_):
+        op = (x_ @ w_s_)[jnp.asarray(senders)] + e_ @ w_e_
+        return hoisted_segment_max(op, jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False, off_)
+
+    args = tuple(map(jnp.asarray, (x, w_s, e_feat, w_e, offset)))
+    np.testing.assert_allclose(np.asarray(f_sharded(*args)),
+                               np.asarray(f_dense(*args)),
+                               rtol=1e-4, atol=1e-4)
+
+    g_s = jax.grad(lambda *a: (f_sharded(*a) ** 2).sum(),
+                   argnums=(0, 1, 2, 3, 4))(*args)
+    g_d = jax.grad(lambda *a: (f_dense(*a) ** 2).sum(),
+                   argnums=(0, 1, 2, 3, 4))(*args)
+    for nm, a, bb_ in zip(("x", "w_s", "e", "w_e", "offset"), g_s, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
