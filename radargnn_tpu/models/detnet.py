@@ -55,7 +55,8 @@ class DetNet(nn.Module):
         # costs more than the sorted scatter saves (docs/RESULTS.md).
         sender_csr = None
         if not getattr(cfg, "use_fused_aggregation", False) \
-                or cfg.conv_layer_type != "MPNNConv" \
+                or cfg.conv_layer_type not in ("MPNNConv",
+                                               "RadarPointGNNConv") \
                 or cfg.conv_pre_mlp_layer_number != 1 \
                 or cfg.aggregation_function != "max":
             # the fused kernels implement the single-linear-pre-MLP max
@@ -118,7 +119,9 @@ class DetNet(nn.Module):
                     pre_layers=cfg.conv_pre_mlp_layer_number,
                     post_layers=cfg.conv_post_mlp_layer_number,
                     dtype=dtype, sorted_edges=sorted_edges,
-                    name=f"conv_{i}")(x, senders, receivers, e, edge_mask)
+                    bf16_max=getattr(cfg, "fused_bf16_max", True),
+                    name=f"conv_{i}")(x, senders, receivers, e, edge_mask,
+                                      tiling)
             else:
                 raise ValueError(
                     f"{cfg.conv_layer_type} is invalid GNN conv layer type. "

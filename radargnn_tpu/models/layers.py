@@ -52,6 +52,43 @@ def fused_csr_tiling(model_config):
     return tiling
 
 
+def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
+                       bf16_max=True):
+    """Dispatches the hoisted max aggregation to the fused Pallas kernels:
+    windowed v3 when the tiling carries sender windows, v2 CSR otherwise.
+    `offset` is the per-receiver additive term hoisted out of the max."""
+    if tiling.win is not None:
+        # windowed fused path (v3): Morton-ordered nodes put every tile's
+        # senders inside a small node window — the E-wide gather AND the
+        # backward d_x landing run as in-kernel one-hot MXU matmuls; a few
+        # percent of edges overflow to the XLA path (ops.pallas_kernels).
+        from radargnn_tpu.ops.pallas_kernels import (
+            make_fused_hoisted_aggregate_v3,
+        )
+        sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+        fused = make_fused_hoisted_aggregate_v3(
+            num_nodes, tiling.node_block, tiling.edge_tile,
+            window_blocks=pmask.shape[0], roll_passes=tiling.roll_passes,
+            bf16_max=bf16_max)
+        return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
+                     offset, ovf_e, tiling.receivers, tiling.blocks, t_win,
+                     sloc, pmask, ovf_s, ovf_r)
+    # fused Pallas path (v2): edge data arrives pre-permuted into tile
+    # order by the loader (batch.flat_tiling) — the message operand never
+    # materializes in HBM, the E-wide gather runs at node width, and the
+    # backward gather transpose uses the sender-sorted Pallas segment sum.
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate_v2,
+    )
+    ssum = tiling.ssum
+    s_perm, s_send, s_blocks = ssum if ssum is not None else (None,) * 3
+    fused = make_fused_hoisted_aggregate_v2(
+        num_nodes, tiling.node_block, tiling.edge_tile)
+    return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
+                 tiling.senders, tiling.receivers, tiling.blocks,
+                 offset, s_perm, s_send, s_blocks)
+
+
 class _AggregationMixin:
     """Shared masked aggregation with the sorted-scatter and bfloat16
     fast paths (max aggregation is exact in bfloat16; sum/mean stay f32)."""
@@ -123,46 +160,11 @@ class MPNNConv(_AggregationMixin, nn.Module):
                                preferred_element_type=jnp.float32)
 
             y_r = mm(x, w_r)
-            if tiling is not None and tiling.win is not None:
-                # windowed fused path (v3): Morton-ordered nodes put every
-                # tile's senders inside a small node window — the E-wide
-                # gather AND the backward d_x landing run as in-kernel
-                # one-hot MXU matmuls; a few percent of edges overflow to
-                # the XLA path (ops.pallas_kernels, v3 section).
-                from radargnn_tpu.ops.pallas_kernels import (
-                    make_fused_hoisted_aggregate_v3,
-                )
-                sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+            if tiling is not None:
                 bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
                     else _BF16_MAX_ENV == "1"
-                fused = make_fused_hoisted_aggregate_v3(
-                    num_nodes, tiling.node_block, tiling.edge_tile,
-                    window_blocks=pmask.shape[0],
-                    roll_passes=tiling.roll_passes,
-                    bf16_max=bf16_max)
-                aggr = fused(x, w_s, tiling.edge_feat,
-                             w_e.astype(jnp.float32), y_r + bias, ovf_e,
-                             tiling.receivers, tiling.blocks, t_win, sloc,
-                             pmask, ovf_s, ovf_r)
-            elif tiling is not None:
-                # fused Pallas path (v2): edge data arrives pre-permuted
-                # into tile order by the loader (batch.flat_tiling) — the
-                # message operand never materializes in HBM, the E-wide
-                # gather runs at node width, and the backward gather
-                # transpose uses the sender-sorted Pallas segment sum
-                # (ops.pallas_kernels.make_fused_hoisted_aggregate_v2)
-                from radargnn_tpu.ops.pallas_kernels import (
-                    make_fused_hoisted_aggregate_v2,
-                )
-                ssum = tiling.ssum
-                s_perm, s_send, s_blocks = ssum if ssum is not None \
-                    else (None, None, None)
-                fused = make_fused_hoisted_aggregate_v2(
-                    num_nodes, tiling.node_block, tiling.edge_tile)
-                aggr = fused(x, w_s, tiling.edge_feat,
-                             w_e.astype(jnp.float32),
-                             tiling.senders, tiling.receivers, tiling.blocks,
-                             y_r + bias, s_perm, s_send, s_blocks)
+                aggr = _fused_hoisted_max(num_nodes, x, w_s, w_e,
+                                          y_r + bias, tiling, bf16_max)
             else:
                 y_s = mm(x, w_s).astype(cd)
                 y_e = mm(edge_attr, w_e).astype(cd)
@@ -197,20 +199,48 @@ class RadarPointGNNConv(_AggregationMixin, nn.Module):
     post_layers: int = 1
     dtype: str = "float32"
     sorted_edges: bool = False
+    bf16_max: bool = True           # windowed kernels: bf16 backward routing
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
                  receivers: jnp.ndarray, edge_attr: jnp.ndarray,
-                 edge_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 edge_mask: Optional[jnp.ndarray] = None,
+                 tiling=None) -> jnp.ndarray:
         num_nodes = x.shape[0]
         node_dim = x.shape[-1]
         pre_mlp_dim = node_dim + edge_attr.shape[-1]
 
-        m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, node_dim,
-                        include_receiver=False, dtype=self.dtype,
-                        name="pre_mlp")(x, senders, receivers, edge_attr)
+        if self.pre_layers == 1 and self.aggr == "max":
+            # Hoisted fast path: message = x_s@W_s + e@W_e + b, so the bias
+            # hoists out of the max (there is no receiver term) and the
+            # fused kernels apply directly with a constant offset.
+            kernel, bias = PreMLPParams(pre_mlp_dim, pre_mlp_dim,
+                                        name="pre_mlp")()
+            w_s, w_e = kernel[:node_dim], kernel[node_dim:]
+            cd = jnp.dtype(self.dtype) if self.dtype != "float32" \
+                else jnp.float32
 
-        aggr = self._aggregate(m, receivers, num_nodes, edge_mask)
+            def mm(a, w):
+                return jnp.dot(a.astype(cd), w.astype(cd),
+                               preferred_element_type=jnp.float32)
+
+            offset = jnp.broadcast_to(bias, (num_nodes, pre_mlp_dim))
+            if tiling is not None:
+                bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
+                    else _BF16_MAX_ENV == "1"
+                aggr = _fused_hoisted_max(num_nodes, x, w_s, w_e, offset,
+                                          tiling, bf16_max)
+            else:
+                operand = mm(x, w_s).astype(cd)[senders] \
+                    + mm(edge_attr, w_e).astype(cd)
+                aggr = hoisted_segment_max(operand, receivers, num_nodes,
+                                           edge_mask, self.sorted_edges,
+                                           offset)
+        else:
+            m = SplitPreMLP([pre_mlp_dim] * self.pre_layers, node_dim,
+                            include_receiver=False, dtype=self.dtype,
+                            name="pre_mlp")(x, senders, receivers, edge_attr)
+            aggr = self._aggregate(m, receivers, num_nodes, edge_mask)
 
         out = jnp.concatenate([x, aggr], axis=-1)
         post_sizes = [node_dim] * self.post_layers

@@ -707,3 +707,59 @@ def test_fused_hoisted_aggregate_v3_bf16_max_semantics():
     for nm, a, bb_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
                                    rtol=1e-4, atol=1e-4, err_msg=nm)
+
+
+def test_radarpointgnn_fused_aggregation_matches_default():
+    """RadarPointGNNConv through the fused kernels (hoisted bias offset, no
+    receiver term) must match its XLA path — v2 CSR and v3 windowed — over
+    full training epochs."""
+    from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.data.synthetic import make_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.models.layers import FUSED_EDGE_TILE, FUSED_NODE_BLOCK
+    from radargnn_tpu.train.trainer import Trainer, set_seeds
+
+    samples = make_samples(num_frames=4, num_points=100, seed=2)
+    losses = {}
+    for fused in (False, True, "windowed"):
+        arch = GNNArchitectureConfig(
+            node_feature_dimension=samples[0].node_feat.shape[1],
+            edge_feature_dimension=2,
+            conv_layer_dimensions=[16, 16],   # forced = emb dim by the layer
+            classification_head_layer_dimensions=[6],
+            regression_head_layer_dimensions=[5],
+            initial_node_feature_embedding=True,
+            initial_edge_feature_embedding=True,
+            node_feature_embedding_layer_dimensions=[16],
+            edge_feature_embedding_layer_dimensions=[8],
+            conv_layer_type="RadarPointGNNConv",
+            batch_norm_in_mlps=False, assume_sorted_edges=True,
+            use_fused_aggregation=bool(fused))
+        tcfg = TrainingConfig(
+            dataset="radarscenes", learning_rate=1e-3, epochs=2, batch_size=2,
+            shuffle=False, bg_index=5, adapt_orientation_angle=True,
+            deterministic=True, seed=3)
+        key = set_seeds(3)
+        if fused == "windowed":
+            tiling = (32, 32, 2, 0.5)
+        elif fused:
+            tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+        else:
+            tiling = None
+        tr = GraphDataLoader(samples[:2], 2, False, 5, seed=1,
+                             csr_tiling=tiling)
+        va = GraphDataLoader(samples[2:], 2, False, 5, seed=1,
+                             max_nodes=tr.max_nodes, max_edges=tr.max_edges,
+                             csr_tiling=tiling)
+        batch = next(iter(tr))
+        model, variables = create_detnet_state(arch, key, batch)
+        trainer = Trainer(tcfg, model, variables)
+        trainer.fit({"train": tr, "validate": va}, verbose=False)
+        losses[fused] = (trainer.train_loss, trainer.valid_loss)
+
+    for mode in (True, "windowed"):
+        np.testing.assert_allclose(losses[mode][0], losses[False][0],
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(losses[mode][1], losses[False][1],
+                                   rtol=1e-3, atol=1e-4)
