@@ -250,3 +250,50 @@ def test_halo_windowed_matches_dense():
     for nm, a, bb_ in zip(("x", "w_s", "e", "w_e", "offset"), g_s, g_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
                                    rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+def test_halo_windowed_degenerate_shards():
+    """Robustness: shards with zero halo traffic and shards with zero local
+    edges must still produce exact results (dummy tiles, empty overflow)."""
+    import jax.numpy as jnp
+
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+    from radargnn_tpu.parallel.halo_windowed import (
+        build_halo_windowed_plan, halo_windowed_hoisted_max,
+    )
+    from radargnn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    n, d, de, h = 64, 8, 4, 8
+    shards = 4
+    ns = n // shards
+    # shard 0: internal edges only (no halo); shard 1: NO local edges, only
+    # remote senders; shards 2-3: nothing at all (empty)
+    senders = np.concatenate([
+        rng.integers(0, ns, 40),                  # local to shard 0
+        rng.integers(2 * ns, 3 * ns, 25),         # remote (shard 2 owners)
+    ]).astype(np.int32)
+    receivers = np.concatenate([
+        rng.integers(0, ns, 40),
+        rng.integers(ns, 2 * ns, 25),             # received on shard 1
+    ]).astype(np.int32)
+    e = len(senders)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    w_s = rng.normal(size=(d, h)).astype(np.float32) * 0.4
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.4
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+
+    plan = build_halo_windowed_plan(senders, receivers, n, shards,
+                                    node_block=8, edge_tile=16,
+                                    window_blocks=2)
+    mesh = make_mesh({"model": shards})
+    got = halo_windowed_hoisted_max(jnp.asarray(x), jnp.asarray(w_s),
+                                    jnp.asarray(e_feat), jnp.asarray(w_e),
+                                    jnp.asarray(offset), plan, mesh)
+    op = (x @ w_s)[senders] + e_feat @ w_e
+    want = hoisted_segment_max(jnp.asarray(op), jnp.asarray(receivers), n,
+                               jnp.ones(e, bool), False,
+                               jnp.asarray(offset))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
