@@ -52,9 +52,17 @@ def main(path_to_data: str, path_to_model_folder: str,
     graph_names = sorted(
         glob.glob(f"{path_to_graph_data}/{config.split}/*.npz"))
 
+    # fused-kernel tiling for inference when the model was configured with
+    # use_fused_aggregation (without it the Predictor silently falls back
+    # to the XLA aggregation path)
+    from radargnn_tpu.models.layers import fused_csr_tiling
+    model_config = UserConfigurationReader.get_config_object(
+        "MODEL_ARCHITECTURE", config_dict)
+    csr_tiling = fused_csr_tiling(model_config)
+
     eval_loaders, _ = get_data_loaders(
         [config.split], path_to_graph_data, batch_size=batch_size,
-        shuffle=False, bg_index=config.bg_index)
+        shuffle=False, bg_index=config.bg_index, csr_tiling=csr_tiling)
     eval_loader = eval_loaders[config.split]
 
     model, variables = load_model(path_to_model_folder)
