@@ -145,3 +145,12 @@ def test_train_cli_fused_windowed(tmp_path):
     model_folder = os.path.join(results, "model_01")
     assert os.path.exists(os.path.join(model_folder,
                                        "trained_model.msgpack"))
+
+    # evaluation must run through the fused inference tiling too (the
+    # evaluate CLI builds it from the MODEL_ARCHITECTURE section)
+    from radargnn_tpu.cli.evaluate import main as evaluate_main
+    evaluate_main(dataset_root, model_folder, config_path)
+    eval_folder = os.path.join(model_folder, "evaluation_01")
+    with open(os.path.join(eval_folder, "eval_results.json")) as f:
+        results_json = json.load(f)
+    assert "mAP" in results_json["OBJECT_DETECTION_METRICS"]
