@@ -173,4 +173,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    try:
+        main()
+    except Exception as e:
+        # transient TPU-tunnel failures (backend init / remote compile 500s)
+        # poison the jax backend cache for the whole process — retry in a
+        # FRESH process a couple of times before giving up
+        attempt = int(os.environ.get("BENCH_RETRY", "0"))
+        if attempt >= 2:
+            raise
+        print(f"bench attempt {attempt + 1} failed "
+              f"({type(e).__name__}: {e}); retrying in 120 s",
+              file=sys.stderr)
+        time.sleep(120)
+        os.environ["BENCH_RETRY"] = str(attempt + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
