@@ -146,11 +146,22 @@ def node_degrees(senders, receivers, num_nodes: int,
     Vectorized as a dense boolean adjacency OR its transpose.
     """
     ones = xp.ones(senders.shape, dtype=bool) if edge_mask is None else edge_mask
-    adj = xp.zeros((num_nodes, num_nodes), dtype=bool)
     if xp is np:
-        adj[senders[ones], receivers[ones]] = True
-    else:
-        adj = adj.at[senders, receivers].max(ones)
+        # sparse: count distinct undirected pairs (the dense [N,N] adjacency
+        # this replaces was 25% of host preprocessing at 2816 points)
+        s = np.asarray(senders)[ones].astype(np.int64)
+        r = np.asarray(receivers)[ones].astype(np.int64)
+        lo, hi = np.minimum(s, r), np.maximum(s, r)
+        keys = np.unique(lo * num_nodes + hi)
+        lo_u, hi_u = keys // num_nodes, keys % num_nodes
+        deg = (np.bincount(lo_u, minlength=num_nodes)
+               + np.bincount(hi_u, minlength=num_nodes))
+        self_u = lo_u[lo_u == hi_u]
+        if self_u.size:
+            deg -= np.bincount(self_u, minlength=num_nodes)
+        return deg
+    adj = xp.zeros((num_nodes, num_nodes), dtype=bool)
+    adj = adj.at[senders, receivers].max(ones)
     sym = adj | adj.T
     return xp.sum(sym, axis=1)
 

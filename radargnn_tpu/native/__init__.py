@@ -42,8 +42,8 @@ def load() -> Optional[ctypes.CDLL]:
         if (not os.path.exists(so_path)
                 or os.path.getmtime(so_path) < os.path.getmtime(_SRC)):
             subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                 _SRC, "-o", so_path],
+                ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+                 "-fPIC", "-std=c++17", _SRC, "-o", so_path],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(so_path)
 

@@ -24,26 +24,54 @@ extern "C" {
 void knn_edges(const double* pts, int64_t n, int64_t d, int64_t k,
                int64_t* out_edges) {
     if (k > n - 1) k = n - 1;
-    std::vector<std::pair<double, int64_t>> cand(n);
+    // two passes per point: (1) all squared distances into a flat array —
+    // a pure streaming loop the compiler vectorizes — then (2) a bounded
+    // max-heap select whose threshold compare rejects almost every
+    // candidate with one branch. Lexicographic (dist, idx) ordering keeps
+    // the tie-break-by-index semantics of the sorted formulation.
+    std::vector<double> dist(n);
+    std::vector<std::pair<double, int64_t>> heap;
+    heap.reserve(k + 1);
     for (int64_t i = 0; i < n; ++i) {
         const double* pi = pts + i * d;
-        for (int64_t j = 0; j < n; ++j) {
-            if (j == i) {
-                cand[j] = {std::numeric_limits<double>::infinity(), j};
-                continue;
+        if (d == 2) {               // radar BEV fast path
+            const double x = pi[0], y = pi[1];
+            for (int64_t j = 0; j < n; ++j) {
+                const double dx = x - pts[2 * j];
+                const double dy = y - pts[2 * j + 1];
+                dist[j] = dx * dx + dy * dy;
             }
-            const double* pj = pts + j * d;
-            double s = 0.0;
-            for (int64_t c = 0; c < d; ++c) {
-                double diff = pi[c] - pj[c];
-                s += diff * diff;
+        } else {
+            for (int64_t j = 0; j < n; ++j) {
+                const double* pj = pts + j * d;
+                double s = 0.0;
+                for (int64_t c = 0; c < d; ++c) {
+                    double diff = pi[c] - pj[c];
+                    s += diff * diff;
+                }
+                dist[j] = s;
             }
-            cand[j] = {s, j};
         }
-        std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
+        dist[i] = std::numeric_limits<double>::infinity();
+
+        heap.clear();
+        for (int64_t j = 0; j < k; ++j)
+            heap.emplace_back(dist[j], j);
+        std::make_heap(heap.begin(), heap.end());
+        for (int64_t j = k; j < n; ++j) {
+            const double s = dist[j];
+            if (s < heap.front().first) {
+                std::pop_heap(heap.begin(), heap.end());
+                heap.back() = {s, j};
+                std::push_heap(heap.begin(), heap.end());
+            }
+            // s == kth distance: the incumbent has the smaller index — the
+            // lexicographic order keeps it, so no action needed.
+        }
+        std::sort_heap(heap.begin(), heap.end());
         for (int64_t m = 0; m < k; ++m) {
             out_edges[(i * k + m) * 2] = i;
-            out_edges[(i * k + m) * 2 + 1] = cand[m].second;
+            out_edges[(i * k + m) * 2 + 1] = heap[m].second;
         }
     }
 }
