@@ -116,7 +116,17 @@ def edge_features(features: List[str], edge_mode: str,
     cols = []
     for feature in features:
         if feature == "point_pair_features":
-            cols.append(point_pair_features(p1, p2, v1, v2, edge_mode, xp))
+            col = None
+            if xp is np and np.asarray(pos).shape[-1] == 2:
+                # native C++ single-pass kernel (radargnn_tpu.native);
+                # None when the library is unavailable
+                from radargnn_tpu import native
+                col = native.point_pair_features_2d(
+                    pos, vel, np.stack([senders, receivers], axis=-1),
+                    edge_mode == "directed")
+            if col is None:
+                col = point_pair_features(p1, p2, v1, v2, edge_mode, xp)
+            cols.append(col)
         elif feature == "spatial_euclidean_distance":
             cols.append(xp.linalg.norm(p1 - p2, axis=-1)[..., None])
         elif feature == "velocity_euclidean_distance":

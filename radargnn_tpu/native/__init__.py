@@ -57,6 +57,10 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double)]
         lib.min_area_rect.restype = ctypes.c_int
+        lib.point_pair_features_2d.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -91,6 +95,23 @@ def nearest_neighbor(pts: np.ndarray) -> Optional[np.ndarray]:
     n, d = pts.shape
     out = np.empty((n,), dtype=np.int64)
     lib.nearest_neighbor(_as_c_double(pts), n, d, _as_c_int64(out))
+    return out
+
+
+def point_pair_features_2d(pos: np.ndarray, vel: np.ndarray,
+                           edges: np.ndarray,
+                           directed: bool) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    pos = np.ascontiguousarray(pos, dtype=np.float64)
+    vel = np.ascontiguousarray(vel, dtype=np.float64)
+    edges = np.ascontiguousarray(edges, dtype=np.int64)
+    e = edges.shape[0]
+    out = np.empty((e, 4), dtype=np.float64)
+    lib.point_pair_features_2d(_as_c_double(pos), _as_c_double(vel),
+                               _as_c_int64(edges), e, int(directed),
+                               _as_c_double(out))
     return out
 
 

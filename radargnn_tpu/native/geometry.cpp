@@ -190,4 +190,52 @@ int min_area_rect(const double* pts, int64_t n, double* out_corners) {
     return 0;
 }
 
+static inline void norm2(double x, double y, double* ox, double* oy) {
+    double n = std::sqrt(x * x + y * y);
+    if (n == 0.0) { *ox = 0.0; *oy = 0.0; }
+    else { *ox = x / n; *oy = y / n; }
+}
+
+static inline double angle_deg(double ax, double ay, double bx, double by) {
+    double dot = ax * bx + ay * by;
+    if (dot > 1.0) dot = 1.0;
+    if (dot < -1.0) dot = -1.0;
+    return std::acos(dot) * (180.0 / 3.14159265358979323846);
+}
+
+// E(2)-invariant point-pair metrics per edge, matching
+// radargnn_tpu.graph.features.point_pair_features (and the reference's
+// graph_constructor/features.py:6-122): zero velocities normalize to zero
+// (-> 90 deg angles), clamped dots. out: (e, 4) rows
+// (distance, angle(v1,v2), theta_d_v_min, theta_d_v_max) in degrees.
+void point_pair_features_2d(const double* pos, const double* vel,
+                            const int64_t* edges, int64_t e, int directed,
+                            double* out) {
+    for (int64_t i = 0; i < e; ++i) {
+        const int64_t s = edges[2 * i], r = edges[2 * i + 1];
+        const double p1x = pos[2 * s], p1y = pos[2 * s + 1];
+        const double p2x = pos[2 * r], p2y = pos[2 * r + 1];
+        double v1x, v1y, v2x, v2y;
+        norm2(vel[2 * s], vel[2 * s + 1], &v1x, &v1y);
+        norm2(vel[2 * r], vel[2 * r + 1], &v2x, &v2y);
+        const double dx = p1x - p2x, dy = p1y - p2y;
+        out[4 * i] = std::sqrt(dx * dx + dy * dy);
+        out[4 * i + 1] = angle_deg(v1x, v1y, v2x, v2y);
+        double d2x, d2y;                       // normalized p2 - p1
+        norm2(-dx, -dy, &d2x, &d2y);
+        if (directed) {
+            out[4 * i + 2] = angle_deg(v1x, v1y, d2x, d2y);
+            out[4 * i + 3] = angle_deg(v2x, v2y, d2x, d2y);
+        } else {
+            const double d1x = -d2x, d1y = -d2y;
+            const double t1 = std::min(angle_deg(v1x, v1y, d1x, d1y),
+                                       angle_deg(v1x, v1y, d2x, d2y));
+            const double t2 = std::min(angle_deg(v2x, v2y, d1x, d1y),
+                                       angle_deg(v2x, v2y, d2x, d2y));
+            out[4 * i + 2] = std::min(t1, t2);
+            out[4 * i + 3] = std::max(t1, t2);
+        }
+    }
+}
+
 }  // extern "C"

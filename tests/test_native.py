@@ -82,3 +82,35 @@ def test_degenerate_returns_none():
     _lib_or_skip()
     pts = np.array([[0.0, 0], [1, 1]])
     assert native.min_area_rect(pts) is None
+
+
+def test_native_point_pair_features_matches_numpy():
+    """The C++ single-pass kernel must match the vectorized numpy formulas
+    exactly (incl. zero-velocity -> 90 deg and coincident-point edge cases)
+    in both edge modes."""
+    from radargnn_tpu import native
+    from radargnn_tpu.graph.features import point_pair_features
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(3)
+    n, e = 50, 300
+    pos = rng.normal(size=(n, 2)) * 10
+    vel = rng.normal(size=(n, 2)) * 3
+    vel[:5] = 0.0                      # zero-velocity points
+    pos[6] = pos[7]                    # coincident pair
+    senders = rng.integers(0, n, e)
+    receivers = rng.integers(0, n, e)
+    senders[0], receivers[0] = 6, 7    # force a zero-distance edge
+    edges = np.stack([senders, receivers], axis=-1)
+
+    for mode in ("directed", "undirected"):
+        got = native.point_pair_features_2d(pos, vel, edges,
+                                            mode == "directed")
+        want = point_pair_features(pos[senders], pos[receivers],
+                                   vel[senders], vel[receivers], mode)
+        # acos near dot=+-1 amplifies last-ulp differences in the dot
+        # (summation order); 1e-5 degrees is far below feature noise
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-5)
