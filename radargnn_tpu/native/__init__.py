@@ -61,6 +61,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double)]
+        lib.radius_edges_count.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double]
+        lib.radius_edges_count.restype = ctypes.c_int64
+        lib.radius_edges_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_int64)]
         _LIB = lib
     except Exception:
         _LIB = None
@@ -112,6 +119,20 @@ def point_pair_features_2d(pos: np.ndarray, vel: np.ndarray,
     lib.point_pair_features_2d(_as_c_double(pos), _as_c_double(vel),
                                _as_c_int64(edges), e, int(directed),
                                _as_c_double(out))
+    return out
+
+
+def radius_edges(pts: np.ndarray, r: float) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(pts, dtype=np.float64)
+    n, d = pts.shape
+    cnt = lib.radius_edges_count(_as_c_double(pts), n, d, float(r) ** 2)
+    out = np.empty((cnt, 2), dtype=np.int64)
+    if cnt:
+        lib.radius_edges_fill(_as_c_double(pts), n, d, float(r) ** 2,
+                              _as_c_int64(out))
     return out
 
 

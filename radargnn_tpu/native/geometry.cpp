@@ -190,6 +190,50 @@ int min_area_rect(const double* pts, int64_t n, double* out_corners) {
     return 0;
 }
 
+// Radius graph, two-phase: count pass then fill pass (caller allocates).
+// Edges (sender, receiver) for 0 < dist^2 <= r2, row-major by sender —
+// matching ops.knn.radius_edges_host's (sender, receiver) sort order.
+int64_t radius_edges_count(const double* pts, int64_t n, int64_t d,
+                           double r2) {
+    int64_t count = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double* pi = pts + i * d;
+        for (int64_t j = 0; j < n; ++j) {
+            if (j == i) continue;
+            const double* pj = pts + j * d;
+            double s = 0.0;
+            for (int64_t c = 0; c < d; ++c) {
+                double diff = pi[c] - pj[c];
+                s += diff * diff;
+            }
+            count += (s <= r2);
+        }
+    }
+    return count;
+}
+
+void radius_edges_fill(const double* pts, int64_t n, int64_t d, double r2,
+                       int64_t* out_edges) {
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const double* pi = pts + i * d;
+        for (int64_t j = 0; j < n; ++j) {
+            if (j == i) continue;
+            const double* pj = pts + j * d;
+            double s = 0.0;
+            for (int64_t c = 0; c < d; ++c) {
+                double diff = pi[c] - pj[c];
+                s += diff * diff;
+            }
+            if (s <= r2) {
+                out_edges[2 * w] = i;
+                out_edges[2 * w + 1] = j;
+                ++w;
+            }
+        }
+    }
+}
+
 static inline void norm2(double x, double y, double* ox, double* oy) {
     double n = std::sqrt(x * x + y * y);
     if (n == 0.0) { *ox = 0.0; *oy = 0.0; }

@@ -152,6 +152,10 @@ def knn_edges_host(x: np.ndarray, k: int) -> np.ndarray:
 def radius_edges_host(x: np.ndarray, r: float) -> np.ndarray:
     """Edge list for dist <= r, sorted by (sender, receiver); self excluded."""
     x = np.asarray(x, dtype=np.float64)
+    from radargnn_tpu import native
+    res = native.radius_edges(x, r)
+    if res is not None:
+        return res
     d2 = _pairwise_sq_dists_np(x)
     s, t = np.nonzero(d2 <= r * r)
     return np.stack([s, t], axis=1)

@@ -114,3 +114,21 @@ def test_native_point_pair_features_matches_numpy():
         # acos near dot=+-1 amplifies last-ulp differences in the dot
         # (summation order); 1e-5 degrees is far below feature noise
         np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-5)
+
+
+def test_native_radius_edges_matches_numpy():
+    from radargnn_tpu import native
+    from radargnn_tpu.ops.knn import _pairwise_sq_dists_np
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    pts = rng.uniform(0, 20, (80, 2))
+    r = 3.0
+    got = native.radius_edges(pts, r)
+    d2 = _pairwise_sq_dists_np(pts)
+    s, t = np.nonzero(d2 <= r * r)
+    want = np.stack([s, t], axis=1)
+    np.testing.assert_array_equal(got, want)
