@@ -297,3 +297,34 @@ def test_halo_windowed_degenerate_shards():
                                jnp.asarray(offset))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_orbax_checkpoint_sharded_arrays(tmp_path):
+    """Orbax saves/restores jax.Arrays sharded over a mesh — the multi-host
+    checkpoint path (msgpack would gather to one host)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from radargnn_tpu.parallel.mesh import make_mesh
+    from radargnn_tpu.train import checkpoint as ckpt
+
+    mesh = make_mesh({"data": 8})
+    sh = NamedSharding(mesh, P("data"))
+    params = {"w": jax.device_put(jnp.arange(64.0).reshape(8, 8), sh),
+              "b": jax.device_put(jnp.ones((8,)), sh)}
+    opt_state = {"m": jax.device_put(jnp.zeros((8, 8)), sh)}
+
+    folder = str(tmp_path / "ck")
+    ckpt.save_train_state(folder, params=params, batch_stats={},
+                          opt_state=opt_state, epoch=3,
+                          losses={"train": [1.0]}, scheduler_lr=1e-3,
+                          backend="orbax")
+    assert os.path.isdir(os.path.join(folder, "orbax"))
+    model, opt_sd, meta = ckpt.load_train_state(folder, opt_state)
+    np.testing.assert_array_equal(np.asarray(model["params"]["w"]),
+                                  np.arange(64.0).reshape(8, 8))
+    np.testing.assert_array_equal(np.asarray(opt_sd["m"]), np.zeros((8, 8)))
+    assert meta["epoch"] == 3
