@@ -68,11 +68,17 @@ def _rotated_boxes(pos: np.ndarray, track_ids: np.ndarray,
     if bb_invariance not in ("none", "translation", "en"):
         raise ValueError("Wrong invariance for bounding box selection")
 
-    out = np.full((pos.shape[0], 5), np.nan)
+    n = pos.shape[0]
+    out = np.full((n, 5), np.nan)
     nn_pos = None
-    if bb_invariance == "en" and pos.shape[0] > 1:
+    if bb_invariance == "en" and n > 1:
         nn_pos = pos[nearest_neighbor_host(pos)]
 
+    # pass 1 — per-object geometry (min-area rect / connection vector);
+    # the box-algebra transforms are batched over ALL object nodes after
+    rel = np.full((n, 5), np.nan)        # relative-rotated encoding
+    corners = np.zeros((n, 4, 2))
+    multi = np.zeros(n, bool)            # >= 3-point objects
     for idx in _object_groups(track_ids):
         pts = pos[idx]
         if idx.shape[0] == 1:
@@ -83,7 +89,6 @@ def _rotated_boxes(pos: np.ndarray, track_ids: np.ndarray,
                 x, y = 0.0, 0.0
             out[idx] = [x, y, 0.5, 0.5, 0.0]
             continue
-
         if idx.shape[0] == 2:
             # long side = connection vector; width fixed 0.5
             p1, p2 = pts[0], pts[1]
@@ -93,35 +98,30 @@ def _rotated_boxes(pos: np.ndarray, track_ids: np.ndarray,
             theta = theta + 180.0 if theta < 0 else theta
             theta = theta - 180.0 if theta >= 180.0 - 1e-9 else theta  # canonical [0,180)
             l, w = np.linalg.norm(v_l), 0.5
-            rel = np.stack([c[0] - pts[:, 0], c[1] - pts[:, 1],
-                            np.full(2, l), np.full(2, w),
-                            np.full(2, theta)], axis=1)
-            if bb_invariance == "none":
-                enc = np.stack([np.full(2, c[0]), np.full(2, c[1]),
-                                np.full(2, l), np.full(2, w),
-                                np.full(2, theta)], axis=1)
-            elif bb_invariance == "translation":
-                enc = rel
-            else:  # en
-                enc = bx.relative_rotated_to_rotation_invariant(
-                    rel, pts, nn_pos[idx])
-            out[idx] = _deg_to_rad_cols(enc, bb_invariance)
+            rel[idx] = np.stack([c[0] - pts[:, 0], c[1] - pts[:, 1],
+                                 np.full(2, l), np.full(2, w),
+                                 np.full(2, theta)], axis=1)
             continue
+        # ≥ 3 points: minimum-area rotated rectangle, shared by the object
+        corners[idx] = minimum_bounding_rectangle_with_rotation(pts)
+        multi[idx] = True
 
-        # ≥ 3 points: minimum-area rotated rectangle
-        rect = minimum_bounding_rectangle_with_rotation(pts)
-        corners = np.broadcast_to(rect, (idx.shape[0], 4, 2))
-        rel = bx.absolute_to_relative_rotated(corners, pts)
+    # pass 2 — one batched box-algebra call per transform
+    if multi.any():
+        rel[multi] = bx.absolute_to_relative_rotated(corners[multi],
+                                                     pos[multi])
+    obj = np.isfinite(rel[:, 0])         # all 2- and >=3-point object nodes
+    if obj.any():
         if bb_invariance == "none":
-            absolute = rel.copy()
-            absolute[:, 0] = pts[:, 0] + rel[:, 0]
-            absolute[:, 1] = pts[:, 1] + rel[:, 1]
-            enc = absolute
+            enc = rel[obj].copy()
+            enc[:, 0] += pos[obj, 0]
+            enc[:, 1] += pos[obj, 1]
         elif bb_invariance == "translation":
-            enc = rel
+            enc = rel[obj]
         else:  # en
-            enc = bx.relative_rotated_to_rotation_invariant(rel, pts, nn_pos[idx])
-        out[idx] = _deg_to_rad_cols(enc, bb_invariance)
+            enc = bx.relative_rotated_to_rotation_invariant(
+                rel[obj], pos[obj], nn_pos[obj])
+        out[obj] = _deg_to_rad_cols(enc, bb_invariance)
     return out
 
 
