@@ -70,6 +70,12 @@ def main():
                              "compile time on remote-tunnel TPUs)")
     parser.add_argument("--checkpoint-dir", type=str, default=None,
                         help="save per-epoch training state here")
+    parser.add_argument("--no-cache-batches", action="store_true",
+                        help="disable device-cached batches; caching fixes "
+                             "batch MEMBERSHIP across epochs (only batch "
+                             "order reshuffles), so recorded convergence "
+                             "numbers are not apples-to-apples with true "
+                             "per-sample shuffling")
     parser.add_argument("--resume", type=str, default=None,
                         help="resume from a checkpoint directory (run long "
                              "trainings in command-timeout-sized chunks)")
@@ -118,10 +124,10 @@ def main():
             csr_tiling = csr_tiling + (FUSED_WINDOW_BLOCKS, args.ovf_frac)
     loaders = {
         "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1,
-                                 cache_batches=True,
+                                 cache_batches=not args.no_cache_batches,
                                  csr_tiling=csr_tiling),
         "validate": GraphDataLoader(val_s, args.batch_size, False, 5, seed=1,
-                                    cache_batches=True,
+                                    cache_batches=not args.no_cache_batches,
                                     csr_tiling=csr_tiling),
     }
     # share buckets

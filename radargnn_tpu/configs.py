@@ -230,9 +230,13 @@ class GNNArchitectureConfig:
     fused_overflow_fraction: float = 0.05
     # Backward-only bf16 max-gradient routing in the windowed kernels: the
     # backward gathers bf16(inner) (its largest f32 matmul rides the bf16
-    # MXU, +1.3% measured) and messages within bf16 rounding of the max
-    # share the gradient (valid subgradient; forward stays exact f32).
-    # Env override: RADARGNN_FUSED_BF16_MAX=0|1.
+    # MXU, +1.3% measured); forward maxima/outputs stay exact f32. Gradient
+    # semantics caveat: every message tied with the max at bf16 resolution
+    # receives the FULL upstream cotangent, so k ties contribute k·g — NOT a
+    # valid subgradient when ties occur (exact-f32 routing has the same
+    # all-ties behavior, just at f32 resolution). Convergence measured
+    # equivalent (docs/RESULTS.md); set false (or RADARGNN_FUSED_BF16_MAX=0)
+    # for exact-f32 routing.
     fused_bf16_max: bool = True
 
 

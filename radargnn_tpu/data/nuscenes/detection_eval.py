@@ -11,9 +11,13 @@ reference invokes (`postprocessor/nuscenes/evaluation.py:70-74` in
     position; ≤ 500 boxes per sample,
   * AP = 101-point interpolated precision with the (0.1, 0.1) min
     recall/precision cut: mean over recall > 0.1 of max(p − 0.1, 0) / 0.9,
-  * TP errors (ATE/ASE/AOE/AVE/AAE) averaged over matches at the 2 m
-    threshold (the devkit averages cumulative means over achieved recall;
-    documented simplification),
+  * TP errors (ATE/ASE/AOE/AVE/AAE) exactly per the devkit: the cumulative
+    mean over TP matches is interpolated onto the 101-point recall grid by
+    confidence, then averaged from recall bin 11 up to the max achieved
+    recall (classes below min recall score 1.0); traffic_cone orient/vel/attr
+    and barrier vel/attr are NaN and excluded via nanmean,
+  * classes absent from the GT score AP 0 / TP errors 1.0 and ARE included
+    in the means over all ten classes (devkit `DetectionMetrics.mean_ap`),
   * NDS = (5·mAP + Σ max(1 − mTP, 0)) / 10 over the five TP scores.
 """
 
@@ -66,6 +70,49 @@ def _calc_ap(prec_interp: np.ndarray) -> float:
     return float(np.mean(prec)) / (1.0 - MIN_PRECISION)
 
 
+def _cummean(x: np.ndarray) -> np.ndarray:
+    """Cumulative mean ignoring NaNs (devkit `utils.cummean`)."""
+    if np.isnan(x).sum() == len(x):
+        return np.ones(len(x))
+    sums = np.nancumsum(x.astype(float))
+    counts = np.cumsum(~np.isnan(x))
+    return np.divide(sums, counts, out=np.zeros_like(sums), where=counts > 0)
+
+
+TP_NAMES = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
+
+
+class _MetricData:
+    """Per-(class, threshold) curves on the 101-point recall grid
+    (devkit `DetectionMetricData`)."""
+
+    def __init__(self, precision, conf, tp_curves):
+        self.precision = precision          # [101]
+        self.conf = conf                    # [101] interpolated confidence
+        self.tp_curves = tp_curves          # name -> [101] cumulative means
+
+    @classmethod
+    def no_predictions(cls):
+        z = np.zeros(101)
+        return cls(z, z, {k: np.ones(101) for k in TP_NAMES})
+
+    @property
+    def max_recall_ind(self) -> int:
+        nz = np.nonzero(self.conf)[0]
+        return int(nz[-1]) if len(nz) else 0
+
+
+def _calc_tp(md: _MetricData, name: str) -> float:
+    """Mean of the cumulative-mean curve over the achieved recall range
+    (devkit `calc_tp`): bins 11 .. max_recall_ind inclusive; 1.0 when the
+    max achieved recall is below min recall."""
+    first = round(100 * MIN_RECALL) + 1
+    last = md.max_recall_ind
+    if last < first:
+        return 1.0
+    return float(np.mean(md.tp_curves[name][first:last + 1]))
+
+
 class NuScenesDetectionEval:
     """Evaluates a submission dict against ground-truth boxes.
 
@@ -108,27 +155,32 @@ class NuScenesDetectionEval:
         for cls in classes:
             aps = []
             for th in DIST_THRESHOLDS:
-                a, errs = self._accumulate(cls, th, gt_f, pred_f, tokens)
-                aps.append(a)
+                md = self._accumulate(cls, th, gt_f, pred_f, tokens)
+                aps.append(_calc_ap(md.precision))
                 if th == TP_DIST_THRESHOLD:
+                    # devkit class/metric exclusions → NaN (evaluate.py)
+                    errs = {}
+                    for name in TP_NAMES:
+                        if cls == "traffic_cone" and name in (
+                                "attr_err", "vel_err", "orient_err"):
+                            errs[name] = np.nan
+                        elif cls == "barrier" and name in (
+                                "attr_err", "vel_err"):
+                            errs[name] = np.nan
+                        else:
+                            errs[name] = _calc_tp(md, name)
                     tp_errors[cls] = errs
             ap[cls] = float(np.mean(aps))
 
-        # classes with no GT at all: devkit leaves AP 0 but they still count;
-        # follow devkit mean over the 10 classes with GT present
-        present = [c for c in classes
-                   if any(b["detection_name"] == c
-                          for t in tokens for b in gt_f[t])]
-        mean_ap = float(np.mean([ap[c] for c in present])) if present else 0.0
+        # devkit DetectionMetrics: plain mean over ALL classes (absent
+        # classes contribute AP 0 / TP 1.0); nanmean skips only the
+        # class/metric exclusions above
+        mean_ap = float(np.mean([ap[c] for c in classes]))
+        mean_tp = {
+            name: float(np.nanmean([tp_errors[c][name] for c in classes]))
+            for name in TP_NAMES}
 
-        tp_names = ("trans_err", "scale_err", "orient_err", "vel_err", "attr_err")
-        mean_tp = {}
-        for name in tp_names:
-            vals = [tp_errors[c][name] for c in present
-                    if not np.isnan(tp_errors[c][name])]
-            mean_tp[name] = float(np.mean(vals)) if vals else 1.0
-
-        tp_scores = [max(1.0 - mean_tp[n], 0.0) for n in tp_names]
+        tp_scores = [max(1.0 - mean_tp[n], 0.0) for n in TP_NAMES]
         nds = (5.0 * mean_ap + sum(tp_scores)) / 10.0
 
         return {
@@ -137,7 +189,11 @@ class NuScenesDetectionEval:
             "mean_dist_aps": ap,
         }
 
-    def _accumulate(self, cls: str, dist_th: float, gt_f, pred_f, tokens):
+    def _accumulate(self, cls: str, dist_th: float, gt_f, pred_f,
+                    tokens) -> _MetricData:
+        """Devkit `algo.accumulate`: greedy match in descending-score order,
+        precision/confidence and cumulative-mean TP-error curves on the
+        101-point recall grid."""
         # gather all predictions of the class across samples
         preds = []
         for t in tokens:
@@ -146,16 +202,16 @@ class NuScenesDetectionEval:
                     preds.append((t, b))
         npos = sum(1 for t in tokens for b in gt_f[t]
                    if b["detection_name"] == cls)
-        nan_errs = dict(trans_err=np.nan, scale_err=np.nan, orient_err=np.nan,
-                        vel_err=np.nan, attr_err=np.nan)
         if npos == 0 or not preds:
-            return 0.0, nan_errs
+            return _MetricData.no_predictions()
 
         preds.sort(key=lambda tb: -tb[1]["detection_score"])
         matched = {t: np.zeros(len(gt_f[t]), bool) for t in tokens}
 
         tp_flags = []
-        match_errs = {k: [] for k in nan_errs}
+        all_conf = []                       # every prediction's score
+        match_errs = {k: [] for k in TP_NAMES}
+        match_conf = []                     # score at each TP match
         for t, pred in preds:
             center = np.asarray(pred["translation"][:2], float)
             best, best_d = -1, np.inf
@@ -166,28 +222,31 @@ class NuScenesDetectionEval:
                     center - np.asarray(gt["translation"][:2], float))
                 if d < best_d:
                     best, best_d = gi, d
+            all_conf.append(pred["detection_score"])
             if best >= 0 and best_d <= dist_th:
                 matched[t][best] = True
                 tp_flags.append(True)
                 gt = gt_f[t][best]
+                match_conf.append(pred["detection_score"])
+                # devkit appends EVERY metric on every TP (NaN where
+                # undefined); class exclusions apply at the metrics level
                 match_errs["trans_err"].append(best_d)
                 match_errs["scale_err"].append(
                     1.0 - _scale_iou(np.asarray(pred["size"]),
                                      np.asarray(gt["size"])))
                 period = np.pi if cls == "barrier" else 2 * np.pi
-                if cls != "traffic_cone":
-                    match_errs["orient_err"].append(_angle_diff(
-                        _yaw_from_rotation(pred["rotation"]),
-                        _yaw_from_rotation(gt["rotation"]), period))
-                if cls not in ("barrier", "traffic_cone"):
-                    pv = np.asarray(pred.get("velocity", (0, 0))[:2], float)
-                    gv = np.asarray(gt.get("velocity", (0, 0))[:2], float)
-                    if np.isfinite(gv).all():
-                        match_errs["vel_err"].append(
-                            float(np.linalg.norm(pv - gv)))
-                    match_errs["attr_err"].append(
-                        0.0 if pred.get("attribute_name") ==
-                        gt.get("attribute_name") else 1.0)
+                match_errs["orient_err"].append(_angle_diff(
+                    _yaw_from_rotation(pred["rotation"]),
+                    _yaw_from_rotation(gt["rotation"]), period))
+                pv = np.asarray(pred.get("velocity", (0, 0))[:2], float)
+                gv = np.asarray(gt.get("velocity", (np.nan, np.nan))[:2],
+                                float)
+                match_errs["vel_err"].append(
+                    float(np.linalg.norm(pv - gv)))
+                gt_attr = gt.get("attribute_name", "")
+                match_errs["attr_err"].append(
+                    np.nan if gt_attr == "" else
+                    (0.0 if pred.get("attribute_name") == gt_attr else 1.0))
             else:
                 tp_flags.append(False)
 
@@ -198,12 +257,20 @@ class NuScenesDetectionEval:
 
         rec_interp = np.linspace(0, 1, 101)
         prec_interp = np.interp(rec_interp, rec, prec, right=0)
-        ap = _calc_ap(prec_interp)
+        conf_interp = np.interp(rec_interp, rec, all_conf, right=0)
 
-        errs = {}
+        tp_curves = {}
+        mc = np.asarray(match_conf, float)
         for k, vals in match_errs.items():
-            errs[k] = float(np.mean(vals)) if vals else np.nan
-        return ap, errs
+            if len(mc) == 0:
+                tp_curves[k] = np.ones(101)
+                continue
+            # cumulative mean over TP matches, sampled at the interpolated
+            # confidences (reversed: np.interp needs increasing x)
+            cm = _cummean(np.asarray(vals, float))
+            tp_curves[k] = np.interp(conf_interp[::-1], mc[::-1],
+                                     cm[::-1])[::-1]
+        return _MetricData(prec_interp, conf_interp, tp_curves)
 
 
 def ground_truth_from_db(nusc, sample_tokens: List[str]):

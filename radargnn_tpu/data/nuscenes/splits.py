@@ -1,11 +1,11 @@
-"""nuScenes scene-name splits.
+"""nuScenes scene splits.
 
-The reference vendors the full official scene lists from nuscenes-devkit
-(`preprocessor/nuscenes/splits.py`, 358 lines of constants). The official
-mini splits are embedded here; the full trainval/test lists (1000 scene
-names) are loaded at import time from the nuscenes-devkit when installed, or
-from a `nuscenes_splits.json` placed next to the dataset — keeping this repo
-free of a thousand vendored constants while remaining drop-in compatible.
+The full official trainval/test partitions are vendored in
+`splits_vendored.py` as scene tokens (parity:
+`preprocessor/nuscenes/splits.py:9-358` in the reference), so a clean
+install is drop-in with no nuscenes-devkit. When the devkit IS installed its
+scene-name lists take precedence (equivalent partitions, human-readable
+names); a `NUSCENES_SPLITS_JSON` file overrides both.
 """
 
 from __future__ import annotations
@@ -23,27 +23,29 @@ mini_val: List[str] = ["scene-0103", "scene-0916"]
 
 
 def _load_full_splits():
-    try:
-        from nuscenes.utils import splits as devkit_splits  # type: ignore
-        return (devkit_splits.train_detect, devkit_splits.train_track,
-                devkit_splits.val, devkit_splits.test)
-    except ImportError:
-        pass
     path = os.environ.get("NUSCENES_SPLITS_JSON", "")
     if path and os.path.exists(path):
         with open(path) as f:
             d = json.load(f)
         return (d.get("train_detect", []), d.get("train_track", []),
                 d.get("val", []), d.get("test", []))
-    return [], [], [], []
+    try:
+        from nuscenes.utils import splits as devkit_splits  # type: ignore
+        return (devkit_splits.train_detect, devkit_splits.train_track,
+                devkit_splits.val, devkit_splits.test)
+    except ImportError:
+        pass
+    from radargnn_tpu.data.nuscenes import splits_vendored as v
+    return v.train_detect, v.train_track, v.val, v.test
 
 
 train_detect, train_track, val, test = _load_full_splits()
 
 
 def require_full_splits() -> None:
+    """Always satisfied on a clean install (vendored constants)."""
     if not (train_detect or train_track or val):
         raise RuntimeError(
-            "Full nuScenes trainval splits unavailable: install "
-            "nuscenes-devkit or point NUSCENES_SPLITS_JSON at a JSON file "
-            "with train_detect/train_track/val/test scene-name lists.")
+            "Full nuScenes trainval splits unavailable — the vendored "
+            "constants failed to load and no devkit/NUSCENES_SPLITS_JSON "
+            "override is present.")

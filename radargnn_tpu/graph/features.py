@@ -116,6 +116,8 @@ def edge_features(features: List[str], edge_mode: str,
     cols = []
     for feature in features:
         if feature == "point_pair_features":
+            if edge_mode not in ("directed", "undirected"):
+                raise ValueError(f"unknown edge_mode: {edge_mode!r}")
             col = None
             if xp is np and np.asarray(pos).shape[-1] == 2:
                 # native C++ single-pass kernel (radargnn_tpu.native);

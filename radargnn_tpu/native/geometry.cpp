@@ -45,6 +45,7 @@ void knn_edges(const double* __restrict__ pts, int64_t n, int64_t d,
     const double* __restrict__ ys = soa.data() + n;
     std::vector<std::pair<double, int64_t>> heap;
     heap.reserve(k + 1);
+    if (k <= 0) return;  // single-point cloud: wrapper clamps k = n-1 = 0
     for (int64_t i = 0; i < n; ++i) {
         const double* pi = pts + i * d;
         if (d == 2) {               // radar BEV fast path

@@ -90,10 +90,6 @@ class Trainer:
         self.train_loss = []
         self.train_loss_cls = []
         self.train_loss_bb = []
-        # id(batch) -> valid-edge count: avoids pulling edge_mask from the
-        # device every dispatch just for the edges/s stats (expensive over
-        # a remote-TPU tunnel; device-cached loader batches hit this once)
-        self._edge_counts: dict = {}
         self.valid_loss = []
         self.model_lowest_valid: dict = {}
 
@@ -123,10 +119,30 @@ class Trainer:
     # jitted steps
     # ------------------------------------------------------------------
 
+    def _halo_perm(self, a, batch: GraphBatch):
+        """Shard-major node permutation for halo batches (a: [G, N, ...])."""
+        from radargnn_tpu.parallel.halo_windowed import shard_major_nodes
+
+        dp, mp = batch.halo_geometry[5], batch.halo_geometry[6]
+        return shard_major_nodes(a, batch.num_graphs, batch.max_nodes, dp, mp)
+
     def _forward(self, params, batch_stats, batch: GraphBatch, train: bool):
         from radargnn_tpu.models.layers import FUSED_NODE_BLOCK
 
         variables = {"params": params, "batch_stats": batch_stats}
+        if batch.halo_geometry is not None and self.mesh is not None:
+            # halo-partitioned path: node arrays go shard-major flat (each
+            # (data, model) device owns a contiguous row block); edge
+            # features ride pre-gathered in the plan bundle
+            halo = batch.flat_halo(self.mesh)
+            return self.model.apply(
+                variables, self._halo_perm(batch.node_feat, batch),
+                batch.flat_edges(), batch.flat_senders(),
+                batch.flat_receivers(),
+                self._halo_perm(batch.node_mask, batch),
+                batch.edge_mask.reshape(-1),
+                train=train, halo=halo,
+                mutable=["batch_stats"] if train else False)
         tiling = batch.flat_tiling(FUSED_NODE_BLOCK) \
             if getattr(self.model.config, "use_fused_aggregation", False) \
             else None
@@ -139,13 +155,23 @@ class Trainer:
 
     def _loss_terms(self, logits, bb, batch: GraphBatch, weights):
         cfg = self.config
-        boxes = batch.boxes.reshape(-1, batch.boxes.shape[-1])
+        halo = batch.halo_geometry is not None and self.mesh is not None
+        if halo:
+            # model outputs are in shard-major node order — permute the
+            # targets identically (the loss is a masked mean, order-free)
+            labels = self._halo_perm(batch.labels, batch)
+            boxes = self._halo_perm(batch.boxes, batch)
+            node_mask = self._halo_perm(batch.node_mask, batch)
+        else:
+            labels = batch.labels.reshape(-1)
+            boxes = batch.boxes.reshape(-1, batch.boxes.shape[-1])
+            node_mask = batch.node_mask.reshape(-1)
         if cfg.adapt_orientation_angle and boxes.shape[-1] == 5:
             boxes = adapt_bb_orientation_angle(boxes)
         return detection_loss(
-            logits, bb, batch.labels.reshape(-1), boxes, weights,
+            logits, bb, labels, boxes, weights,
             cfg.bg_index, cfg.cls_loss_weight, cfg.bb_loss_weight,
-            batch.node_mask.reshape(-1))
+            node_mask)
 
     def _build_train_step(self):
         def train_step(state: TrainState, batch: GraphBatch):
@@ -171,7 +197,6 @@ class Trainer:
         return jax.jit(train_step, donate_argnums=(0,))
 
     def _build_train_scan(self):
-        @jax.jit
         def train_scan(state: TrainState, batches: GraphBatch):
             """K train steps in one dispatch; batches have leading scan axis."""
             def body(state, batch):
@@ -180,7 +205,9 @@ class Trainer:
 
             return jax.lax.scan(body, state, batches)
 
-        return train_scan
+        # donate the carried state like the single-step path — otherwise
+        # scan dispatches hold two live copies of params+opt_state
+        return jax.jit(train_scan, donate_argnums=(0,))
 
     def _build_eval_step(self):
         @jax.jit
@@ -276,15 +303,13 @@ class Trainer:
             print(f">>> Overall training duration: {round(hours, 2)} hours")
 
     def _edges_in(self, batch) -> int:
+        # stack_samples always sets host metadata; the device pull is a
+        # stats-only fallback for hand-built batches (no id()-keyed caching —
+        # CPython reuses ids after GC, which returned stale counts)
         v = getattr(batch, "host_valid_edges", None)
         if v is not None:
             return v
-        key = id(batch)
-        v = self._edge_counts.get(key)
-        if v is None:
-            v = int(np.asarray(batch.edge_mask).sum())
-            self._edge_counts[key] = v
-        return v
+        return int(np.asarray(batch.edge_mask).sum())
 
     def _train_epoch(self, loader, verbose=False):
         from radargnn_tpu.utils.profiling import StepStats

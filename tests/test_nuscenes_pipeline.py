@@ -222,9 +222,21 @@ def test_native_detection_eval_perfect_predictions(tmp_path):
     out = ev.evaluate()
     # perfect predictions: AP = 1 after min-recall/precision normalization
     assert out["label_aps"]["car"] == pytest.approx(1.0)
-    assert out["mean_ap"] == pytest.approx(1.0)
-    assert out["nd_score"] == pytest.approx(1.0)
-    assert out["tp_errors"]["trans_err"] == pytest.approx(0.0)
+    # devkit-exact: mean over ALL 10 classes — the 9 absent ones score AP 0
+    # and TP error 1.0 (DetectionMetrics.mean_ap / calc_tp last_ind<first)
+    assert out["mean_ap"] == pytest.approx(0.1)
+    # car's matched trans_err is 0; 9 absent classes contribute 1.0 each
+    assert out["tp_errors"]["trans_err"] == pytest.approx(0.9)
+    assert out["tp_errors"]["scale_err"] == pytest.approx(0.9)
+    # orient: traffic_cone excluded (NaN) -> mean over 9 classes
+    assert out["tp_errors"]["orient_err"] == pytest.approx(8 / 9)
+    # vel/attr: traffic_cone + barrier excluded -> mean over 8
+    assert out["tp_errors"]["vel_err"] == pytest.approx(7 / 8)
+    assert out["tp_errors"]["attr_err"] == pytest.approx(7 / 8)
+    tp_scores = sum(max(1.0 - out["tp_errors"][n], 0.0) for n in
+                    ("trans_err", "scale_err", "orient_err", "vel_err",
+                     "attr_err"))
+    assert out["nd_score"] == pytest.approx((5 * 0.1 + tp_scores) / 10)
 
 
 def test_native_detection_eval_misses():
@@ -313,7 +325,11 @@ def test_nuscenes_evaluator_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(folder, "nuscenes_metrics.json"))
     with open(os.path.join(folder, "nuscenes_metrics.json")) as f:
         metrics = json.load(f)
-    assert metrics["mean_ap"] > 0.9           # perfect boxes -> near-perfect AP
+    # perfect boxes -> near-perfect car AP; devkit-exact mean_ap averages
+    # over all 10 classes, 9 of which are absent (AP 0)
+    assert metrics["label_aps"]["car"] > 0.9
+    assert metrics["mean_ap"] == pytest.approx(
+        metrics["label_aps"]["car"] / 10)
     assert 0 <= metrics["nd_score"] <= 1
 
 
@@ -396,3 +412,67 @@ def test_multisweep_transforms(tmp_path):
     np.testing.assert_allclose(points[:3, 1], [-11.0, 6.0, 0.0], atol=1e-6)
     # time lags: 0 for current, 0.5s for previous
     np.testing.assert_allclose(times, [0.0, 0.5], atol=1e-9)
+
+
+def test_vendored_full_splits_drop_in():
+    """Full official splits available with no devkit and no env override
+    (parity: reference preprocessor/nuscenes/splits.py:9-358)."""
+    from radargnn_tpu.data.nuscenes import splits
+
+    splits.require_full_splits()   # must never raise on a clean install
+    assert len(splits.train_detect) == 350
+    assert len(splits.train_track) == 350
+    assert len(splits.val) == 150
+    assert len(splits.test) == 150
+    # official protocol: detect/track partitions are disjoint; val/test too
+    train = set(splits.train_detect) | set(splits.train_track)
+    assert len(train) == 700
+    assert not train & set(splits.val)
+    assert not (train | set(splits.val)) & set(splits.test)
+
+    from radargnn_tpu.configs import NuScenesSplitConfiguration
+    cfg = NuScenesSplitConfiguration("v1.0-trainval")
+    assert len(cfg.sequence_dict["train"]) == 700
+    assert len(cfg.sequence_dict["validate"]) == 150
+
+
+def test_tp_error_cumulative_mean_over_recall_oracle():
+    """Hand-computed oracle for the devkit TP accumulation: the cumulative
+    mean of per-match errors is interpolated onto the recall grid by
+    confidence, then averaged over bins 11..max_recall_ind."""
+    gt = {"s1": [
+        {"translation": (0, 0, 0), "size": (2, 4, 1.5),
+         "rotation": (1, 0, 0, 0), "detection_name": "car",
+         "attribute_name": "vehicle.moving", "velocity": (0, 0)},
+        {"translation": (30, 0, 0), "size": (2, 4, 1.5),
+         "rotation": (1, 0, 0, 0), "detection_name": "car",
+         "attribute_name": "vehicle.moving", "velocity": (0, 0)},
+    ]}
+    ego = {"s1": (0.0, 0.0)}
+    # two TPs: scores .9/.8, translation errors 1.0 and 0.0
+    results = {"s1": [
+        {"translation": (1.0, 0, 0), "size": (2, 4, 1.5),
+         "rotation": (1, 0, 0, 0), "detection_name": "car",
+         "attribute_name": "vehicle.moving", "velocity": (0, 0),
+         "detection_score": 0.9, "sample_token": "s1"},
+        {"translation": (30.0, 0, 0), "size": (2, 4, 1.5),
+         "rotation": (1, 0, 0, 0), "detection_name": "car",
+         "attribute_name": "vehicle.moving", "velocity": (0, 0),
+         "detection_score": 0.8, "sample_token": "s1"},
+    ]}
+    ev = NuScenesDetectionEval({"results": results}, gt, ego)
+    gt_f = {"s1": ev._filter(gt["s1"], "s1")}
+    pred_f = {"s1": ev._filter(results["s1"], "s1")}
+    md = ev._accumulate("car", 2.0, gt_f, pred_f, ["s1"])
+
+    # cummean of errors [1.0, 0.0] = [1.0, 0.5] at match confs [.9, .8];
+    # recall grid: conf 0.9 for bins 0..50, then linear 0.9->0.8 to bin 100.
+    # TP curve: 1.0 up to bin 50, then 1.0 - 0.01*(i-50).
+    # calc_tp = mean over bins 11..100
+    #        = (40*1.0 + sum_{j=1..50} (1 - 0.01 j)) / 90 = 77.25/90
+    from radargnn_tpu.data.nuscenes.detection_eval import _calc_tp
+    assert _calc_tp(md, "trans_err") == pytest.approx(77.25 / 90)
+    # both predictions are perfect in scale -> curve all ~0
+    assert _calc_tp(md, "scale_err") == pytest.approx(0.0)
+    # precision is 1.0 at every achieved recall -> AP 1.0
+    assert _calc_ap(md.precision) == pytest.approx(1.0)
