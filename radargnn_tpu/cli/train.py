@@ -28,25 +28,40 @@ def main(path_to_graph_data: str, path_to_results: str,
     key = set_seeds(training_config.seed) if training_config.deterministic \
         else jax.random.key(0)
 
+    mesh = make_mesh(training_config.mesh_axes) \
+        if training_config.mesh_axes else None
+
     print(">>> loading data")
     from radargnn_tpu.models.layers import fused_csr_tiling
     csr_tiling = fused_csr_tiling(model_config)
+    halo_partition = None
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # edge partitioning over the mesh 'model' axis: the loader builds
+        # per-graph halo plans and the trainer routes conv aggregation
+        # through the halo-windowed kernels (parallel/halo_windowed.py)
+        if csr_tiling is None or len(csr_tiling) < 3:
+            raise SystemExit(
+                "mesh_axes with model>1 requires use_fused_aggregation with "
+                "windowed tiling (the halo path runs the windowed kernels)")
+        halo_partition = {"dp": mesh.shape.get("data", 1),
+                          "mp": mesh.shape["model"],
+                          "ovf_frac": getattr(model_config,
+                                              "fused_overflow_fraction",
+                                              0.05) * 10}
+        print(f">>> halo edge partitioning: {halo_partition}")
     data_loaders, dataset_config_dict = get_data_loaders(
         ["train", "validate"], path_to_graph_data,
         training_config.batch_size, training_config.shuffle,
         bg_index=training_config.bg_index, seed=training_config.seed,
-        csr_tiling=csr_tiling)
+        csr_tiling=csr_tiling, halo_partition=halo_partition)
 
     print(">>> creating model")
     train_loader = data_loaders["train"]
     example = stack_samples(
         train_loader.samples[:1], train_loader.max_nodes,
         training_config.bg_index, train_loader.max_edges,
-        csr_tiling=csr_tiling)
+        csr_tiling=csr_tiling if halo_partition is None else None)
     model, variables = create_detnet_state(model_config, key, example)
-
-    mesh = make_mesh(training_config.mesh_axes) \
-        if training_config.mesh_axes else None
 
     print(">>> starting training")
     trainer = Trainer(training_config, model, variables, mesh=mesh)

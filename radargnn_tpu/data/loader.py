@@ -37,7 +37,8 @@ class GraphDataLoader:
                  max_nodes: Optional[int] = None,
                  max_edges: Optional[int] = None,
                  pad_align: int = 64, drop_last: bool = False,
-                 csr_tiling=None, cache_batches: bool = False):
+                 csr_tiling=None, cache_batches: bool = False,
+                 halo_partition: Optional[dict] = None):
         if not samples:
             raise ValueError("empty sample list")
         self.samples = samples
@@ -48,6 +49,13 @@ class GraphDataLoader:
         self.csr_tiling = csr_tiling
         if csr_tiling is not None:
             pad_align = max(pad_align, csr_tiling[0])
+        if halo_partition is not None:
+            # bucket must split evenly into mp node shards, and the graph
+            # count into dp data shards
+            pad_align = int(np.lcm(pad_align, halo_partition["mp"]))
+            if batch_size % max(halo_partition.get("dp", 1), 1):
+                raise ValueError("batch_size must divide evenly over the "
+                                 "mesh data axis for halo training")
         self._rng = np.random.default_rng(seed)
         self._pad_cache: dict = {}
         self._empty: Optional[GraphSample] = None
@@ -64,6 +72,24 @@ class GraphDataLoader:
         e_max = max(s.num_edges for s in samples)
         self.max_nodes = max_nodes or _round_up(n_max, pad_align)
         self.max_edges = max_edges or _round_up(e_max, pad_align)
+
+        self.halo_partition: Optional[dict] = None
+        if halo_partition is not None and halo_partition.get("budgets"):
+            # caller supplied dataset-wide budgets (get_data_loaders merges
+            # across splits incl. the batch-padding empty graph)
+            self.halo_partition = dict(halo_partition)
+        elif halo_partition is not None:
+            # budget pass: plan every sample (plus the batch-padding empty
+            # graph) to find the dataset-wide static-shape maxima, then all
+            # real padding uses the shared budgets so one executable covers
+            # every batch
+            from radargnn_tpu.graph.batch import halo_dataset_budgets
+            if self.max_nodes % halo_partition["mp"]:
+                raise ValueError("bucket size not divisible by mp")
+            self.halo_partition = dict(halo_partition)
+            self.halo_partition["budgets"] = halo_dataset_budgets(
+                samples + [_empty_like(samples[0])], self.max_nodes,
+                self.max_edges, bg_index, csr_tiling, halo_partition)
 
     def __len__(self) -> int:
         n = len(self.samples)
@@ -104,7 +130,8 @@ class GraphDataLoader:
             yield stack_samples(batch_samples, self.max_nodes, self.bg_index,
                                 self.max_edges, csr_tiling=self.csr_tiling,
                                 pad_cache=self._pad_cache,
-                                roll_passes=self.roll_passes)
+                                roll_passes=self.roll_passes,
+                                halo_partition=self.halo_partition)
 
 
 def _empty_like(sample: GraphSample) -> GraphSample:
@@ -125,7 +152,7 @@ def load_split_samples(root: str, split: str) -> List[GraphSample]:
 
 def get_data_loaders(splits: List[str], root: str, batch_size: int,
                      shuffle: bool, bg_index: int = 5, seed: int = 0,
-                     csr_tiling=None,
+                     csr_tiling=None, halo_partition: Optional[dict] = None,
                      ) -> Tuple[Dict[str, GraphDataLoader], dict]:
     """Reads graph npz files per split into loaders + the dataset config.json.
 
@@ -140,13 +167,27 @@ def get_data_loaders(splits: List[str], root: str, batch_size: int,
     e_max = max(max((g.num_edges for g in ss), default=1)
                 for ss in all_samples.values())
     align = max(64, csr_tiling[0]) if csr_tiling else 64
+    if halo_partition is not None:
+        align = int(np.lcm(align, halo_partition["mp"]))
     n_bucket = _round_up(n_max, align)
     e_bucket = _round_up(e_max, align)
+    halo_by_split: Dict[str, Optional[dict]] = {}
+    if halo_partition is not None:
+        # one shared budget across splits so train/val share an executable
+        from radargnn_tpu.graph.batch import halo_dataset_budgets
+        everything = [s for ss in all_samples.values() for s in ss]
+        everything.append(_empty_like(everything[0]))
+        shared = dict(halo_partition)
+        shared["budgets"] = halo_dataset_budgets(
+            everything, n_bucket, e_bucket, bg_index, csr_tiling,
+            halo_partition)
+        halo_by_split = {s: shared for s in splits}
     for split, samples in all_samples.items():
         loaders[split] = GraphDataLoader(
             samples, batch_size, shuffle and split == "train", bg_index,
             seed=seed, max_nodes=n_bucket, max_edges=e_bucket,
-            csr_tiling=csr_tiling)
+            csr_tiling=csr_tiling,
+            halo_partition=halo_by_split.get(split))
 
     config_path = os.path.join(root, "config.json")
     dataset_config = {}

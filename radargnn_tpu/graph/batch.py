@@ -94,9 +94,28 @@ class GraphBatch:
     ovf_receivers: Optional[jnp.ndarray] = None      # [G, Eo] int32, -1 pad
     ovf_edge_feat: Optional[jnp.ndarray] = None      # [G, Eo, De] float
 
+    # halo edge-partitioning over a (data × model) mesh
+    # (parallel.halo_windowed): per-graph stacked HaloWindowedPlan arrays,
+    # leading axes [G, P]. Built by the loader's halo_partition option.
+    halo_send_idx: Optional[jnp.ndarray] = None      # [G, P, P, B]
+    halo_e_t: Optional[jnp.ndarray] = None           # [G, P, T·TE, De]
+    halo_e_ovf: Optional[jnp.ndarray] = None         # [G, P, Eo, De]
+    halo_recv_t: Optional[jnp.ndarray] = None        # [G, P, T·TE]
+    halo_tile_blocks: Optional[jnp.ndarray] = None   # [G, P, T]
+    halo_tile_win: Optional[jnp.ndarray] = None      # [G, P, T]
+    halo_sloc: Optional[jnp.ndarray] = None          # [G, P, T·TE]
+    halo_part_mask: Optional[jnp.ndarray] = None     # [G, P, WB, NBLK]
+    halo_ovf_s: Optional[jnp.ndarray] = None         # [G, P, Eo]
+    halo_ovf_r: Optional[jnp.ndarray] = None         # [G, P, Eo]
+
     # static (non-pytree) tiling geometry: (node_block, edge_tile) used by
     # the loader; the kernels must be built with the same values
     tile_geometry: Optional[tuple] = struct.field(pytree_node=False,
+                                                  default=None)
+    # static halo geometry: (node_block, edge_tile, window_blocks, n_aug,
+    # roll_passes, dp, mp, nodes_per_shard, halo_b); the trainer reads
+    # dp/mp at [5]/[6]. None = batch carries no halo partitioning.
+    halo_geometry: Optional[tuple] = struct.field(pytree_node=False,
                                                   default=None)
 
     @property
@@ -187,6 +206,21 @@ class GraphBatch:
         return FlatTiling(senders, recv, blocks, edge_feat, ssum, win,
                           node_block, edge_tile, roll_passes)
 
+    def flat_halo(self, mesh):
+        """Device-side HaloBundle for halo-partitioned training (None when
+        the batch carries no halo plan). See
+        parallel.halo_windowed.halo_windowed_hoisted_max_batched."""
+        if self.halo_send_idx is None or self.halo_geometry is None:
+            return None
+        from radargnn_tpu.parallel.halo_windowed import HaloBundle
+        return HaloBundle(
+            send_idx=self.halo_send_idx, e_t=self.halo_e_t,
+            e_ovf=self.halo_e_ovf, recv_t=self.halo_recv_t,
+            tile_blocks=self.halo_tile_blocks, tile_win=self.halo_tile_win,
+            sloc=self.halo_sloc, part_mask=self.halo_part_mask,
+            ovf_s=self.halo_ovf_s, ovf_r=self.halo_ovf_r,
+            geometry=self.halo_geometry, mesh=mesh)
+
     def num_valid_nodes(self) -> jnp.ndarray:
         return jnp.sum(self.node_mask)
 
@@ -274,7 +308,8 @@ def overflow_budget(max_edges: int, edge_tile: int,
 
 def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
                bg_index: int, sort_edges_by_receiver: bool = True,
-               csr_tiling=None) -> dict:
+               csr_tiling=None, halo_partition: Optional[dict] = None
+               ) -> dict:
     """Pads a GraphSample to (max_nodes, max_edges); returns plain numpy dict.
 
     Padded nodes get label `bg_index` and NaN boxes; padded edges point at
@@ -287,6 +322,13 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     edge_tile) builds the v2 receiver+sender CSR tilings; (node_block,
     edge_tile, window_blocks) additionally Morton-orders the nodes and
     builds the v3 windowed tiling + overflow lists.
+
+    `halo_partition` (dict: mp, dp, ovf_frac, budgets) replaces the
+    single-chip tiling with a per-graph HaloWindowedPlan for (data × model)
+    mesh training: nodes Morton-ordered then partitioned into `mp` shards,
+    per-shard windowed tilings + boundary-exchange plan, edge features
+    pre-gathered into tile order. Requires a 3-tuple (windowed) csr_tiling
+    for the kernel geometry.
     """
     window_blocks = None
     ovf_frac = 0.08
@@ -296,6 +338,9 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
             ovf_frac = csr_tiling[3]
         csr_tiling = (node_block, edge_tile)
         sample = morton_sort_sample(sample)
+    if halo_partition is not None and window_blocks is None:
+        raise ValueError("halo_partition requires a windowed (3-tuple) "
+                         "csr_tiling for the kernel geometry")
 
     n, e = sample.num_nodes, sample.num_edges
     if n > max_nodes or e > max_edges:
@@ -342,7 +387,38 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         labels=labels, boxes=boxes,
         pos=pad_nodes(sample.pos), vel=pad_nodes(sample.vel),
     )
-    if csr_tiling is not None and window_blocks is not None:
+    if halo_partition is not None:
+        from radargnn_tpu.parallel.halo_windowed import (
+            build_halo_windowed_plan, plan_budgets,
+        )
+        mp = halo_partition["mp"]
+        if max_nodes % mp:
+            raise ValueError(f"max_nodes {max_nodes} not divisible by "
+                             f"mp={mp} halo shards")
+        plan = build_halo_windowed_plan(
+            senders, receivers, max_nodes, mp, node_block, edge_tile,
+            window_blocks, edge_mask=edge_mask,
+            ovf_frac=halo_partition.get("ovf_frac", 0.5),
+            budgets=halo_partition.get("budgets"))
+        ef = out["edge_feat"]
+        e_t = np.where((plan.recv_t >= 0)[..., None],
+                       ef[plan.tile_eperm], 0.0).astype(np.float32)
+        e_ovf = np.where((plan.ovf_r >= 0)[..., None],
+                         ef[plan.ovf_eperm], 0.0).astype(np.float32)
+        out.update(
+            halo_send_idx=plan.halo.send_idx, halo_e_t=e_t,
+            halo_e_ovf=e_ovf, halo_recv_t=plan.recv_t,
+            halo_tile_blocks=plan.tile_blocks,
+            halo_tile_win=plan.tile_win, halo_sloc=plan.sloc,
+            halo_part_mask=plan.part_mask, halo_ovf_s=plan.ovf_s,
+            halo_ovf_r=plan.ovf_r)
+        # non-array metadata (popped by stack_samples)
+        out["_halo_geometry"] = (
+            plan.node_block, plan.edge_tile, plan.window_blocks, plan.n_aug,
+            plan.roll_passes, halo_partition.get("dp", 1), mp,
+            plan.halo.nodes_per_shard, plan.halo.send_idx.shape[-1])
+        out["_halo_budgets"] = plan_budgets(plan)
+    elif csr_tiling is not None and window_blocks is not None:
         from radargnn_tpu.ops.pallas_kernels import (
             prepare_windowed_csr_tiles, window_part_mask,
         )
@@ -393,11 +469,34 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     return out
 
 
+def halo_dataset_budgets(samples: List[GraphSample], max_nodes: int,
+                         max_edges: int, bg_index: int, csr_tiling,
+                         halo_partition: dict) -> dict:
+    """Dataset-wide static halo-plan budgets (two-round probe).
+
+    Round 1 finds the max halo/edge widths; round 2 re-plans with those
+    widths fixed — n_aug (and hence the tile count) depends on the halo
+    width, so the tile budget is only a fixed point once widths are shared.
+    The returned dict makes every sample's plan identical-shape."""
+    from radargnn_tpu.parallel.halo_windowed import merge_budgets
+
+    probe = dict(halo_partition, budgets=None)
+    round1 = merge_budgets([
+        pad_sample(s, max_nodes, max_edges, bg_index, csr_tiling=csr_tiling,
+                   halo_partition=probe)["_halo_budgets"] for s in samples])
+    widths = {k: round1[k] for k in ("halo_b", "loc_width", "halo_width")}
+    probe2 = dict(halo_partition, budgets=widths)
+    return merge_budgets([
+        pad_sample(s, max_nodes, max_edges, bg_index, csr_tiling=csr_tiling,
+                   halo_partition=probe2)["_halo_budgets"] for s in samples])
+
+
 def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
                   max_edges: Optional[int] = None,
                   sort_edges_by_receiver: bool = True,
                   csr_tiling=None, pad_cache: Optional[dict] = None,
-                  roll_passes: Optional[int] = None) -> GraphBatch:
+                  roll_passes: Optional[int] = None,
+                  halo_partition: Optional[dict] = None) -> GraphBatch:
     """Pads and stacks host samples into a device GraphBatch.
 
     With the default receiver-sorted edge layout, flat receiver indices are
@@ -421,12 +520,26 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
             padded.append(pad_cache[id(s)])
             continue
         p = pad_sample(s, max_nodes, max_edges, bg_index,
-                       sort_edges_by_receiver, csr_tiling)
+                       sort_edges_by_receiver, csr_tiling, halo_partition)
         if pad_cache is not None:
             pad_cache[id(s)] = p
         padded.append(p)
-    arrays = {k: np.stack([p[k] for p in padded]) for k in padded[0]}
-    geometry = tuple(csr_tiling[:2]) if csr_tiling is not None else None
+    halo_geometry = None
+    if halo_partition is not None:
+        # all geometries must agree except roll_passes (take the max so one
+        # executable covers every batch; loader budgets make them equal)
+        geoms = [p["_halo_geometry"] for p in padded]
+        base = geoms[0][:4] + geoms[0][5:]
+        for g_ in geoms[1:]:
+            if g_[:4] + g_[5:] != base:
+                raise ValueError("halo plan shapes differ across samples; "
+                                 "pass shared budgets (loader does this)")
+        rp = max(g_[4] for g_ in geoms)
+        halo_geometry = geoms[0][:4] + (rp,) + geoms[0][5:]
+    arrays = {k: np.stack([p[k] for p in padded])
+              for k in padded[0] if not k.startswith("_")}
+    geometry = tuple(csr_tiling[:2]) \
+        if csr_tiling is not None and halo_partition is None else None
     if geometry is not None and csr_tiling is not None \
             and len(csr_tiling) >= 3:
         if roll_passes is None:
@@ -434,7 +547,7 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
         geometry = geometry + (roll_passes,)
     valid_edges = int(sum(s.num_edges for s in samples))
     batch = GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()},
-                       tile_geometry=geometry)
+                       tile_geometry=geometry, halo_geometry=halo_geometry)
     # host-side metadata (NOT a pytree field — set as a plain attribute so
     # it never enters jit cache keys): lets the trainer report edges/s
     # without pulling edge_mask back from the device

@@ -36,13 +36,38 @@ class DetNet(nn.Module):
                  senders: jnp.ndarray, receivers: jnp.ndarray,
                  node_mask: Optional[jnp.ndarray] = None,
                  edge_mask: Optional[jnp.ndarray] = None,
-                 train: bool = True, tiling=None
+                 train: bool = True, tiling=None, halo=None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         dtype = getattr(cfg, "compute_dtype", "float32")
         sorted_edges = getattr(cfg, "assume_sorted_edges", False)
         x = node_feat
         e = edge_feat
+
+        if halo is not None:
+            # Halo-partitioned (data × model mesh) path: node arrays arrive
+            # SHARD-MAJOR flat (trainer permutes them); edge features ride
+            # pre-gathered in the halo bundle in per-shard tile order, so
+            # the embedding runs directly in that layout and the conv layers
+            # consume the bundle instead of senders/receivers.
+            tiling = None
+            g_, p_, tt_, de_ = halo.e_t.shape
+            eo_ = halo.e_ovf.shape[2]
+            e_t = halo.e_t.reshape(-1, de_)
+            e_ovf = halo.e_ovf.reshape(-1, de_)
+            if cfg.initial_edge_feature_embedding:
+                dims = list(cfg.edge_feature_embedding_layer_dimensions)
+                emb = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
+                          name="edge_emb_mlp")
+                e_t = emb(e_t, (halo.recv_t >= 0).reshape(-1), train)
+                e_ovf = emb(e_ovf, (halo.ovf_r >= 0).reshape(-1), train)
+            if dtype != "float32":
+                cd = jnp.dtype(dtype)
+                e_t = e_t.astype(cd)
+                e_ovf = e_ovf.astype(cd)
+            halo = halo.replace_edge_feat(
+                e_t.reshape(g_, p_, tt_, -1), e_ovf.reshape(g_, p_, eo_, -1))
+            e = e_t     # layers size their pre-MLP from edge_attr's width
 
         if cfg.initial_node_feature_embedding:
             dims = list(cfg.node_feature_embedding_layer_dimensions)
@@ -97,7 +122,7 @@ class DetNet(nn.Module):
             # mode the tiled embedded features are the edge features
             e = e_t
             edge_mask = edge_mask_t
-        elif cfg.initial_edge_feature_embedding:
+        elif cfg.initial_edge_feature_embedding and halo is None:
             dims = list(cfg.edge_feature_embedding_layer_dimensions)
             e = MLP(dims[-1], dims[:-1], cfg.batch_norm_in_mlps, dtype,
                     name="edge_emb_mlp")(e, edge_mask, train)
@@ -112,7 +137,8 @@ class DetNet(nn.Module):
                              dtype=dtype, sorted_edges=sorted_edges,
                              bf16_max=getattr(cfg, "fused_bf16_max", True),
                              name=f"conv_{i}")(x, senders, receivers, e,
-                                               edge_mask, sender_csr, tiling)
+                                               edge_mask, sender_csr, tiling,
+                                               halo)
             elif cfg.conv_layer_type == "RadarPointGNNConv":
                 x = RadarPointGNNConv(
                     aggr=cfg.aggregation_function,
@@ -121,7 +147,7 @@ class DetNet(nn.Module):
                     dtype=dtype, sorted_edges=sorted_edges,
                     bf16_max=getattr(cfg, "fused_bf16_max", True),
                     name=f"conv_{i}")(x, senders, receivers, e, edge_mask,
-                                      tiling)
+                                      tiling, halo)
             else:
                 raise ValueError(
                     f"{cfg.conv_layer_type} is invalid GNN conv layer type. "

@@ -123,9 +123,36 @@ class MPNNConv(_AggregationMixin, nn.Module):
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
                  receivers: jnp.ndarray, edge_attr: jnp.ndarray,
                  edge_mask: Optional[jnp.ndarray] = None,
-                 sender_csr=None, tiling=None) -> jnp.ndarray:
+                 sender_csr=None, tiling=None, halo=None) -> jnp.ndarray:
         num_nodes = x.shape[0]
         in_channels = x.shape[-1]
+
+        if halo is not None:
+            if self.use_edge_encoder or self.pre_layers != 1 \
+                    or self.aggr != "max":
+                raise ValueError("halo partitioning requires the hoisted "
+                                 "configuration: single linear pre-MLP, max "
+                                 "aggregation, no conv edge encoder")
+            from radargnn_tpu.parallel.halo_windowed import (
+                halo_windowed_hoisted_max_batched,
+            )
+            pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
+            kernel, bias = PreMLPParams(pre_mlp_dim, pre_mlp_dim,
+                                        name="pre_mlp")()
+            d = in_channels
+            w_r, w_s, w_e = kernel[:d], kernel[d:2 * d], kernel[2 * d:]
+            cd = jnp.dtype(self.dtype) if self.dtype != "float32" \
+                else jnp.float32
+            y_r = jnp.dot(x.astype(cd), w_r.astype(cd),
+                          preferred_element_type=jnp.float32)
+            bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
+                else _BF16_MAX_ENV == "1"
+            aggr = halo_windowed_hoisted_max_batched(
+                x, w_s, w_e.astype(jnp.float32), y_r + bias, halo, bf16_max)
+            out = jnp.concatenate([x, aggr], axis=-1)
+            post_sizes = [self.out_channels] * self.post_layers
+            return LinearReluStack(post_sizes, dtype=self.dtype,
+                                   name="post_mlp")(out)
 
         if self.use_edge_encoder:
             encoder = TorchLinear(in_channels, dtype=self.dtype,
@@ -205,10 +232,31 @@ class RadarPointGNNConv(_AggregationMixin, nn.Module):
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
                  receivers: jnp.ndarray, edge_attr: jnp.ndarray,
                  edge_mask: Optional[jnp.ndarray] = None,
-                 tiling=None) -> jnp.ndarray:
+                 tiling=None, halo=None) -> jnp.ndarray:
         num_nodes = x.shape[0]
         node_dim = x.shape[-1]
         pre_mlp_dim = node_dim + edge_attr.shape[-1]
+
+        if halo is not None:
+            if self.pre_layers != 1 or self.aggr != "max":
+                raise ValueError("halo partitioning requires the hoisted "
+                                 "configuration: single linear pre-MLP and "
+                                 "max aggregation")
+            from radargnn_tpu.parallel.halo_windowed import (
+                halo_windowed_hoisted_max_batched,
+            )
+            kernel, bias = PreMLPParams(pre_mlp_dim, pre_mlp_dim,
+                                        name="pre_mlp")()
+            w_s, w_e = kernel[:node_dim], kernel[node_dim:]
+            offset = jnp.broadcast_to(bias, (num_nodes, pre_mlp_dim))
+            bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
+                else _BF16_MAX_ENV == "1"
+            aggr = halo_windowed_hoisted_max_batched(
+                x, w_s, w_e.astype(jnp.float32), offset, halo, bf16_max)
+            out = jnp.concatenate([x, aggr], axis=-1)
+            h = LinearReluStack([node_dim] * self.post_layers,
+                                dtype=self.dtype, name="post_mlp")(out)
+            return h + x
 
         if self.pre_layers == 1 and self.aggr == "max":
             # Hoisted fast path: message = x_s@W_s + e@W_e + b, so the bias

@@ -68,12 +68,20 @@ class HaloPlan:
 def build_halo_plan(senders: np.ndarray, receivers: np.ndarray,
                     num_nodes: int, num_shards: int,
                     edge_mask: Optional[np.ndarray] = None,
-                    pad_align: int = 8) -> HaloPlan:
+                    pad_align: int = 8,
+                    halo_b: Optional[int] = None,
+                    loc_width: Optional[int] = None,
+                    halo_width: Optional[int] = None) -> HaloPlan:
     """Partitions edges by receiver shard and plans the boundary exchange.
 
     Nodes are assigned contiguously: shard p owns [p*Ns, (p+1)*Ns). Call
     with Morton-ordered nodes (graph.batch.morton_sort_sample) to keep the
-    boundary small.
+    boundary small. Planning is O(E log E) vectorized numpy (one lexsorted
+    unique over the boundary triples) — no per-edge Python.
+
+    `halo_b` / `loc_width` / `halo_width` override the derived per-(owner,
+    dest) send budget and per-shard edge widths — pass dataset-wide maxima so
+    every sample's plan shares one static shape (jit stability).
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
@@ -88,32 +96,40 @@ def build_halo_plan(senders: np.ndarray, receivers: np.ndarray,
     local = edge_mask & (r_shard == s_shard)
     remote = edge_mask & ~ (r_shard == s_shard)
 
-    # per (owner, dest): unique sender nodes crossing that boundary
-    send_lists = [[None] * num_shards for _ in range(num_shards)]
-    b = 1
-    for q in range(num_shards):
-        for p in range(num_shards):
-            if p == q:
-                send_lists[p][q] = np.zeros(0, np.int64)
-                continue
-            m = remote & (r_shard == q) & (s_shard == p)
-            uniq = np.unique(senders[m])
-            send_lists[p][q] = uniq - p * ns        # owner-local
-            b = max(b, len(uniq))
-    b = _round_up(b, pad_align)
-    send_idx = np.full((num_shards, num_shards, b), -1, np.int64)
-    # halo slot of a remote sender on dest q: owner p's chunk starts at p*b
-    halo_slot = {}
-    for p in range(num_shards):
-        for q in range(num_shards):
-            lst = send_lists[p][q]
-            send_idx[p, q, :len(lst)] = lst
-            for j, n_local in enumerate(lst):
-                halo_slot[(q, p * ns + n_local)] = p * b + j
+    # unique boundary (owner p, dest q, sender) triples, lexicographically
+    # sorted — rank within each (p, q) group is the sender's halo-buffer slot
+    remote_idx = np.flatnonzero(remote)
+    p_r = s_shard[remote_idx].astype(np.int64)
+    q_r = r_shard[remote_idx].astype(np.int64)
+    gid_e = p_r * num_shards + q_r
+    key = gid_e * (num_nodes + 1) + senders[remote_idx]
+    uniq_key, inv = np.unique(key, return_inverse=True)
+    gid = uniq_key // (num_nodes + 1)
+    u_send = uniq_key % (num_nodes + 1)
+    starts = np.searchsorted(gid, np.arange(num_shards * num_shards))
+    rank = np.arange(len(gid)) - starts[gid]
+    counts = np.bincount(gid, minlength=num_shards * num_shards)
+    b = int(counts.max()) if len(gid) else 1
+    b = _round_up(max(b, 1), pad_align)
+    if halo_b is not None:
+        if halo_b < b:
+            raise ValueError(f"halo_b override {halo_b} < required {b}")
+        b = halo_b
+    send_flat = np.full((num_shards * num_shards, b), -1, np.int64)
+    send_flat[gid, rank] = u_send - (gid // num_shards) * ns   # owner-local
+    send_idx = send_flat.reshape(num_shards, num_shards, b)
+    # halo slot of each remote edge's sender on its dest: owner p's chunk
+    # starts at p*b
+    slot_of_edge = np.full(len(senders), -1, np.int64)
+    slot_of_edge[remote_idx] = p_r * b + rank[inv]
 
-    def pack(mask_per_shard, sender_map):
+    def pack(mask_per_shard, sender_map, width):
         counts = [int(m.sum()) for m in mask_per_shard]
-        width = _round_up(max(counts + [1]), pad_align)
+        need = _round_up(max(counts + [1]), pad_align)
+        if width is None:
+            width = need
+        elif width < need:
+            raise ValueError(f"edge-width override {width} < required {need}")
         send = np.full((num_shards, width), -1, np.int64)
         recv = np.full((num_shards, width), -1, np.int64)
         perm = np.zeros((num_shards, width), np.int64)
@@ -126,11 +142,10 @@ def build_halo_plan(senders: np.ndarray, receivers: np.ndarray,
 
     loc_s, loc_r, loc_p = pack(
         [local & (r_shard == q) for q in range(num_shards)],
-        lambda q, idx: senders[idx] - q * ns)
+        lambda q, idx: senders[idx] - q * ns, loc_width)
     halo_s, halo_r, halo_p = pack(
         [remote & (r_shard == q) for q in range(num_shards)],
-        lambda q, idx: np.array([halo_slot[(q, s)] for s in senders[idx]],
-                                np.int64))
+        lambda q, idx: slot_of_edge[idx], halo_width)
 
     return HaloPlan(num_shards, ns, send_idx.astype(np.int32),
                     loc_s.astype(np.int32), loc_r.astype(np.int32),

@@ -33,6 +33,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from radargnn_tpu.parallel.halo import HaloPlan, build_halo_plan, _round_up
@@ -69,41 +70,56 @@ def build_halo_windowed_plan(senders: np.ndarray, receivers: np.ndarray,
                              window_blocks: int = 2,
                              edge_mask: Optional[np.ndarray] = None,
                              ovf_frac: float = 0.5,
-                             pad_align: int = 8) -> HaloWindowedPlan:
+                             pad_align: int = 8,
+                             budgets: Optional[dict] = None
+                             ) -> HaloWindowedPlan:
     """Plans the halo exchange and a windowed CSR tiling per shard.
 
     `ovf_frac` budgets the per-shard WINDOW overflow (local edges whose
     sender misses the Morton window) relative to the local-edge budget; the
     halo edges are appended after it. Call with Morton-ordered nodes to keep
     both the boundary and the window overflow small.
+
+    `budgets` overrides the derived static shapes with dataset-wide maxima
+    so every sample's plan is identical-shape (one jitted executable):
+    keys halo_b / loc_width / halo_width / tiles / roll_passes, as returned
+    by `plan_budgets(plan)`.
     """
     from radargnn_tpu.ops.pallas_kernels import (
         prepare_windowed_csr_tiles, window_part_mask,
     )
 
+    budgets = budgets or {}
     hp = build_halo_plan(senders, receivers, num_nodes, num_shards,
-                         edge_mask, pad_align)
+                         edge_mask, pad_align,
+                         halo_b=budgets.get("halo_b"),
+                         loc_width=budgets.get("loc_width"),
+                         halo_width=budgets.get("halo_width"))
     p_n, ns = hp.num_shards, hp.nodes_per_shard
     b = hp.send_idx.shape[-1]
-    n_aug = ns + p_n * b
-    nblocks = -(-n_aug // node_block)
+    # augmented row count rounds up to the node block so batched callers can
+    # concatenate per-graph augmented arrays tile-aligned
+    n_aug = _round_up(ns + p_n * b, node_block)
+    nblocks = n_aug // node_block
     el = hp.loc_senders.shape[1]
     eh = hp.halo_senders.shape[1]
     win_budget = max(edge_tile, _round_up(max(int(el * ovf_frac), 1),
                                           edge_tile))
 
     # pass 1: per-shard tilings; find the common tile budget + roll bound
-    preps, tmax, rp = [], 1, 1
+    tmax, rp = budgets.get("tiles", 1), budgets.get("roll_passes", 1)
     for p in range(p_n):
         ls, lr = hp.loc_senders[p], hp.loc_receivers[p]
         mask = lr >= 0
-        preps.append(prepare_windowed_csr_tiles(
+        prep = prepare_windowed_csr_tiles(
             np.maximum(ls, 0), np.maximum(lr, 0), mask, n_aug, node_block,
-            edge_tile, window_blocks, None, win_budget))
-        tmax = max(tmax, len(preps[p][1]))
+            edge_tile, window_blocks, None, win_budget)
+        tmax = max(tmax, len(prep[1]))
         if mask.any():
             deg = int(np.bincount(lr[mask], minlength=ns).max())
             rp = max(rp, int(np.ceil(np.log2(max(2, deg)))))
+    if "tiles" in budgets and tmax > budgets["tiles"]:
+        raise ValueError(f"tile override {budgets['tiles']} < required {tmax}")
 
     # pass 2: re-tile with the shared budget so every shard's shapes match
     tile_blocks, tile_win, recv_t, sloc = [], [], [], []
@@ -149,6 +165,146 @@ def build_halo_windowed_plan(senders: np.ndarray, receivers: np.ndarray,
         np.stack(ovf_s).astype(np.int32),
         np.stack(ovf_r).astype(np.int32),
         np.stack(ovf_eperm).astype(np.int32))
+
+
+def plan_budgets(plan: HaloWindowedPlan) -> dict:
+    """Static-shape budgets of a plan, in `build_halo_windowed_plan`'s
+    `budgets` format. Merge across a dataset with `merge_budgets` and rebuild
+    so every sample's plan shares one shape (one compiled executable)."""
+    return dict(halo_b=plan.halo.send_idx.shape[-1],
+                loc_width=plan.halo.loc_senders.shape[1],
+                halo_width=plan.halo.halo_senders.shape[1],
+                tiles=plan.tile_blocks.shape[1],
+                roll_passes=plan.roll_passes)
+
+
+def merge_budgets(budgets_list) -> dict:
+    return {k: max(b[k] for b in budgets_list) for k in budgets_list[0]}
+
+
+def shard_major_nodes(a: jnp.ndarray, num_graphs: int, max_nodes: int,
+                      dp: int, mp: int) -> jnp.ndarray:
+    """Permutes batched node arrays [G, N, ...] into shard-major flat order
+    [(d, m, g_local, n_local), ...] so that a flat sharding
+    P(("data", "model")) hands each (data, model) device a contiguous row
+    block holding ITS graphs' node partitions. A pure transpose — message
+    passing and the masked losses/BatchNorm are node-order-free."""
+    gl, ns = num_graphs // dp, max_nodes // mp
+    a4 = a.reshape((dp, gl, mp, ns) + a.shape[2:])
+    a4 = jnp.transpose(a4, (0, 2, 1, 3) + tuple(range(4, a4.ndim)))
+    return a4.reshape((num_graphs * max_nodes,) + a.shape[2:])
+
+
+@struct.dataclass
+class HaloBundle:
+    """Device-side stacked halo plans for a GraphBatch: every array has
+    leading axes [G, P] (graph, model shard) so `in_specs P("data",
+    "model")` hands each device its own graphs' shard rows. Built by
+    `GraphBatch.flat_halo`; consumed by `halo_windowed_hoisted_max_batched`.
+    """
+    send_idx: jnp.ndarray       # [G, P, P, B]
+    e_t: jnp.ndarray            # [G, P, T·TE, De] tile-ordered edge features
+    e_ovf: jnp.ndarray          # [G, P, Eo, De]
+    recv_t: jnp.ndarray         # [G, P, T·TE] shard-local receiver, -1 pad
+    tile_blocks: jnp.ndarray    # [G, P, T]
+    tile_win: jnp.ndarray       # [G, P, T]
+    sloc: jnp.ndarray           # [G, P, T·TE] window-local sender, -1 pad
+    part_mask: jnp.ndarray      # [G, P, WB, NBLK]
+    ovf_s: jnp.ndarray          # [G, P, Eo] augmented-row sender
+    ovf_r: jnp.ndarray          # [G, P, Eo] shard-local receiver, -1 pad
+    # (node_block, edge_tile, window_blocks, n_aug, roll_passes, dp, mp,
+    #  nodes_per_shard, halo_b) — static; trainer reads dp/mp at [5]/[6]
+    geometry: tuple = struct.field(pytree_node=False, default=None)
+    mesh: object = struct.field(pytree_node=False, default=None)
+
+    def replace_edge_feat(self, e_t, e_ovf):
+        return self.replace(e_t=e_t, e_ovf=e_ovf)
+
+
+def halo_windowed_hoisted_max_batched(x: jnp.ndarray, w_s: jnp.ndarray,
+                                      w_e: jnp.ndarray, offset: jnp.ndarray,
+                                      bundle: HaloBundle,
+                                      bf16_max: bool = False) -> jnp.ndarray:
+    """Batched halo aggregation over a (data × model) mesh.
+
+        out[g, n] = offset[g, n] + max over edges e->n in graph g of
+                    (x[g, send(e)] @ w_s + e_feat[e] @ w_e),  0 if no edges
+
+    `x` / `offset` are SHARD-MAJOR flat node arrays [G·N, D] / [G·N, H]
+    (see shard_major_nodes) sharded P(("data", "model")); each device runs
+    the windowed Pallas kernels over its local graphs' shard with one
+    all_to_all (over "model") for boundary sender features, issued before
+    the tile compute so the ICI transfer overlaps it. Fully differentiable
+    (the all_to_all transposes to the reverse all_to_all; weight cotangents
+    psum over the mesh automatically).
+    """
+    from radargnn_tpu.ops.pallas_kernels import make_fused_hoisted_aggregate_v3
+
+    (node_block, edge_tile, window_blocks, n_aug, roll_passes, dp, mp, ns,
+     b) = bundle.geometry
+    mesh = bundle.mesh
+    g_total = bundle.send_idx.shape[0]
+    gl = g_total // dp                     # graphs per data shard
+    nblocks = n_aug // node_block
+    d = x.shape[-1]
+    h = w_s.shape[1]
+    raw_aug = ns + mp * b                  # pre-padding augmented rows
+
+    fused = make_fused_hoisted_aggregate_v3(
+        gl * n_aug, node_block, edge_tile, window_blocks,
+        roll_passes=roll_passes, bf16_max=bf16_max)
+
+    plan_arrays = (bundle.send_idx, bundle.e_t, bundle.e_ovf, bundle.recv_t,
+                   bundle.tile_blocks, bundle.tile_win, bundle.sloc,
+                   bundle.part_mask, bundle.ovf_s, bundle.ovf_r)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(("data", "model")), P(("data", "model")))
+             + (P("data", "model"),) * len(plan_arrays) + (P(), P()),
+             out_specs=P(("data", "model")), check_vma=False)
+    def step(x_own, off_own, send, e_t, e_ovf, recv_t, tblocks, twin,
+             sloc_, pmask_, ovf_s_, ovf_r_, w_s_, w_e_):
+        # drop the sharded-to-1 model axis; leading axis = local graphs
+        send = send[:, 0]                          # [gl, P, B]
+        x_g = x_own.reshape(gl, ns, d)
+        # 1) boundary exchange first — the tile compute has no dependency on
+        #    the halo rows (they only feed the overflow list), so the ICI
+        #    transfer overlaps the local tile work
+        flat_idx = (jnp.maximum(send, 0)
+                    + (jnp.arange(gl, dtype=jnp.int32) * ns)[:, None, None])
+        outbound = jnp.where((send >= 0)[..., None],
+                             x_own[flat_idx.reshape(-1)].reshape(
+                                 gl, mp, b, d), 0.0)
+        halo = jax.lax.all_to_all(outbound, "model", 1, 1)   # [gl, P, B, D]
+        # 2) per-graph augmented rows (own nodes ‖ halo buffer ‖ zero pad),
+        #    concatenated across local graphs tile-aligned
+        x_aug = jnp.concatenate([x_g, halo.reshape(gl, mp * b, d)], axis=1)
+        x_aug = jnp.pad(x_aug, ((0, 0), (0, n_aug - raw_aug), (0, 0)))
+        off_aug = jnp.pad(off_own.reshape(gl, ns, h),
+                          ((0, 0), (0, n_aug - ns), (0, 0)))
+        # 3) concatenate the local graphs' tilings with per-graph offsets
+        #    (blocks stay monotone: graph g's windows live in
+        #    [g·nblocks, (g+1)·nblocks))
+        g_idx = jnp.arange(gl, dtype=jnp.int32)
+        tb = (tblocks[:, 0] + (g_idx * nblocks)[:, None]).reshape(-1)
+        tw = (twin[:, 0] + (g_idx * nblocks)[:, None]).reshape(-1)
+        n_off = (g_idx * n_aug)[:, None]
+        rt = jnp.where(recv_t[:, 0] >= 0, recv_t[:, 0] + n_off, -1
+                       ).reshape(-1)
+        sl = sloc_[:, 0].reshape(-1)               # window-local: no offset
+        et = e_t[:, 0].reshape(gl * e_t.shape[2], -1)
+        eo = e_ovf[:, 0].reshape(gl * e_ovf.shape[2], -1)
+        o_s = (ovf_s_[:, 0] + n_off).reshape(-1)
+        o_r = jnp.where(ovf_r_[:, 0] >= 0, ovf_r_[:, 0] + n_off, -1
+                        ).reshape(-1)
+        pm = jnp.transpose(pmask_[:, 0], (1, 0, 2)).reshape(
+            window_blocks, gl * nblocks)
+        out = fused(x_aug.reshape(gl * n_aug, d), w_s_, et, w_e_,
+                    off_aug.reshape(gl * n_aug, h), eo, rt, tb, tw, sl, pm,
+                    o_s, o_r)
+        return out.reshape(gl, n_aug, h)[:, :ns].reshape(gl * ns, h)
+
+    return step(x, offset, *plan_arrays, w_s, w_e)
 
 
 def halo_windowed_hoisted_max(x: jnp.ndarray, w_s: jnp.ndarray,

@@ -1,0 +1,182 @@
+"""End-to-end halo-partitioned training over a (data × model) mesh.
+
+VERDICT round-1 item 3: the halo ops existed but were unreachable from the
+Trainer/CLI. These tests drive the full integration — loader-built per-graph
+halo plans (shared static budgets), GraphBatch halo fields, the batched
+sharded aggregation, DetNet's halo path, and Trainer loss parity against the
+single-device XLA path. No reference equivalent exists (SURVEY.md §2c —
+the reference is single-GPU); this is new north-star scope.
+
+Runs on the 8-virtual-device CPU mesh (conftest sets
+xla_force_host_platform_device_count).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _samples(n_frames=4, n_points=48, k=4, seed=3):
+    from radargnn_tpu.data.synthetic import make_samples, DEFAULT_GRAPH_CONFIG
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DEFAULT_GRAPH_CONFIG, graph_construction_settings={"k": k, "r": 1.0})
+    cfg.__post_init__()
+    return make_samples(num_frames=n_frames, num_points=n_points, seed=seed,
+                        graph_config=cfg)
+
+
+CSR = (8, 16, 2, 0.6)          # node_block, edge_tile, window_blocks, ovf
+HALO = {"dp": 2, "mp": 2, "ovf_frac": 0.8}
+
+
+def _halo_batch(samples, max_nodes=64, max_edges=None):
+    from radargnn_tpu.graph.batch import stack_samples
+
+    max_edges = max_edges or max(s.num_edges for s in samples)
+    max_edges = -(-max_edges // 16) * 16
+    # shared budgets across the samples (what the loader does)
+    from radargnn_tpu.graph.batch import halo_dataset_budgets
+    budgets = halo_dataset_budgets(samples, max_nodes, max_edges, 5, CSR,
+                                   HALO)
+    return stack_samples(samples, max_nodes, 5, max_edges, csr_tiling=CSR,
+                         halo_partition=dict(HALO, budgets=budgets))
+
+
+def test_batched_halo_matches_dense():
+    """halo_windowed_hoisted_max_batched on a data×model mesh must match the
+    dense single-device hoisted max per graph — forward and gradients."""
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+    from radargnn_tpu.parallel.halo_windowed import (
+        halo_windowed_hoisted_max_batched, shard_major_nodes,
+    )
+    from radargnn_tpu.parallel.mesh import make_mesh
+
+    samples = _samples()
+    batch = _halo_batch(samples)
+    g, n = batch.node_mask.shape
+    d = batch.node_feat.shape[-1]
+    de = batch.edge_feat.shape[-1]
+    h = 16
+    rng = np.random.default_rng(0)
+    w_s = jnp.asarray(rng.normal(size=(d, h)).astype(np.float32) * 0.4)
+    w_e = jnp.asarray(rng.normal(size=(de, h)).astype(np.float32) * 0.4)
+    offset = jnp.asarray(rng.normal(size=(g, n, h)).astype(np.float32))
+
+    mesh = make_mesh({"data": 2, "model": 2})
+    bundle = batch.flat_halo(mesh)
+    assert bundle is not None
+    dp, mp = batch.halo_geometry[5], batch.halo_geometry[6]
+    assert (dp, mp) == (2, 2)
+    # the plans must carry real boundary traffic for this to test anything
+    assert int(np.asarray(batch.halo_send_idx >= 0).sum()) > 8
+
+    perm = lambda a: shard_major_nodes(a, g, n, dp, mp)
+
+    def f_halo(x, w_s_, w_e_, off):
+        return halo_windowed_hoisted_max_batched(
+            perm(x), w_s_, w_e_, perm(off), bundle)
+
+    def f_dense(x, w_s_, w_e_, off):
+        outs = []
+        for i in range(g):
+            op = (x[i] @ w_s_)[batch.senders[i]] \
+                + batch.edge_feat[i] @ w_e_
+            outs.append(hoisted_segment_max(
+                op, batch.receivers[i], n, batch.edge_mask[i], False,
+                off[i]))
+        return perm(jnp.stack(outs))
+
+    args = (batch.node_feat, w_s, w_e, offset)
+    got = np.asarray(f_halo(*args))
+    want = np.asarray(f_dense(*args))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    g_h = jax.grad(lambda *a: (f_halo(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(
+        *args)
+    g_d = jax.grad(lambda *a: (f_dense(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(
+        *args)
+    for nm, a, b in zip(("x", "w_s", "w_e", "offset"), g_h, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+def _arch(node_dim, edge_dim):
+    from radargnn_tpu.configs import GNNArchitectureConfig
+    return GNNArchitectureConfig(
+        node_feature_dimension=node_dim, edge_feature_dimension=edge_dim,
+        conv_layer_dimensions=[16, 16],
+        classification_head_layer_dimensions=[6],
+        regression_head_layer_dimensions=[8, 5],
+        initial_node_feature_embedding=True,
+        initial_edge_feature_embedding=True,
+        node_feature_embedding_layer_dimensions=[8, 16],
+        edge_feature_embedding_layer_dimensions=[4, 8],
+        conv_layer_type="MPNNConv", batch_norm_in_mlps=False)
+
+
+def test_halo_trainer_matches_single_device():
+    """A few Trainer steps on the (data × model) mesh through the REAL halo
+    path must track the single-device XLA-path loss trajectory."""
+    from radargnn_tpu.configs import TrainingConfig
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.graph.batch import stack_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.parallel.mesh import make_mesh
+    from radargnn_tpu.train.trainer import Trainer
+
+    samples = _samples(n_frames=8)
+    tcfg = TrainingConfig(dataset="radarscenes", learning_rate=1e-3,
+                          epochs=2, batch_size=4, shuffle=False, bg_index=5,
+                          adapt_orientation_angle=True)
+
+    halo_loader = GraphDataLoader(samples, 4, False, 5, csr_tiling=CSR,
+                                  halo_partition=dict(HALO), pad_align=16)
+    plain_loader = GraphDataLoader(samples, 4, False, 5, pad_align=16,
+                                   max_nodes=halo_loader.max_nodes,
+                                   max_edges=halo_loader.max_edges)
+
+    example = stack_samples(samples[:4], halo_loader.max_nodes, 5,
+                            halo_loader.max_edges)
+    arch = _arch(example.node_feat.shape[-1], example.edge_feat.shape[-1])
+    key = jax.random.key(0)
+    model, variables = create_detnet_state(arch, key, example)
+
+    mesh = make_mesh({"data": 2, "model": 2})
+    t_halo = Trainer(tcfg, model, jax.tree.map(jnp.copy, variables),
+                     mesh=mesh)
+    t_plain = Trainer(tcfg, model, variables, mesh=None)
+
+    losses = {}
+    for name, tr, loader in (("halo", t_halo, halo_loader),
+                             ("plain", t_plain, plain_loader)):
+        ls = []
+        for _ in range(2):
+            for b in loader:
+                tr.state, out = tr._train_step(tr.state, b)
+                ls.append(float(out[0]))
+        losses[name] = ls
+
+    np.testing.assert_allclose(losses["halo"], losses["plain"],
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_loader_shared_budgets_single_executable():
+    """Every halo batch from one loader must share identical static shapes
+    and halo_geometry (one compiled executable)."""
+    from radargnn_tpu.data.loader import GraphDataLoader
+
+    samples = _samples(n_frames=6, n_points=40, seed=9)
+    loader = GraphDataLoader(samples, 2, False, 5, csr_tiling=CSR,
+                             halo_partition=dict(HALO), pad_align=16)
+    batches = list(loader)
+    assert len(batches) == 3
+    geo = batches[0].halo_geometry
+    for b in batches[1:]:
+        assert b.halo_geometry == geo
+        for f in ("halo_send_idx", "halo_e_t", "halo_recv_t",
+                  "halo_tile_blocks", "halo_ovf_s"):
+            assert getattr(b, f).shape == getattr(batches[0], f).shape

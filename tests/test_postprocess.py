@@ -282,3 +282,141 @@ def test_map_engine_fuzz_vs_naive():
             assert res["map"] == -1.0
         else:
             assert res["map"] == pytest.approx(naive, abs=1e-9), f"trial {trial}"
+
+
+def _naive_coco_ap_ranged(dets, gts, iou_fn, thr, max_det, area_range,
+                          avg_recall=False):
+    """First-principles single-class AP/AR with max-detection truncation and
+    area-range ignore semantics matching the reference fork
+    (`torchmetrics_mean_ap.py:561-575,661-718`): GT outside the range are
+    never matched and excluded from npig; unmatched detections outside the
+    range count neither as TP nor FP."""
+    def area(b):
+        return (b[2] - b[0]) * (b[3] - b[1])
+
+    lo, hi = area_range
+    records = []  # (score, is_tp, ignored)
+    npig = sum(sum(lo <= area(g) <= hi for g in g_i) for g_i in gts)
+    for det_i, gt_i in zip(dets, gts):
+        det_i = sorted(det_i, key=lambda d: -d[1])[:max_det]
+        gt_ok = [lo <= area(g) <= hi for g in gt_i]
+        matched = [False] * len(gt_i)
+        for box, score in det_i:
+            best, best_iou = -1, 0.0
+            for j, gbox in enumerate(gt_i):
+                if matched[j] or not gt_ok[j]:
+                    continue
+                iou = iou_fn(box, gbox)
+                if iou > best_iou:
+                    best, best_iou = j, iou
+            if best >= 0 and best_iou > thr:
+                matched[best] = True
+                records.append((score, True, False))
+            else:
+                records.append((score, False,
+                                not (lo <= area(box) <= hi)))
+    if npig == 0:
+        return None
+    records.sort(key=lambda r: -r[0])
+    kept = [r for r in records if not r[2]]
+    tp = np.cumsum([r[1] for r in kept])
+    fp = np.cumsum([not r[1] for r in kept])
+    if len(kept) == 0:
+        return 0.0
+    rec = tp / npig
+    if avg_recall:
+        return float(rec[-1])
+    prec = tp / np.maximum(tp + fp, 1e-12)
+    prec = np.maximum.accumulate(prec[::-1])[::-1]
+    out = np.zeros(101)
+    rts = np.linspace(0, 1, 101)
+    idx = np.searchsorted(rec, rts, side="left")
+    ok = idx < len(rec)
+    out[ok] = prec[idx[ok]]
+    return float(out.mean())
+
+
+def test_map_engine_fuzz_max_dets_and_area_ranges():
+    """Engine vs first-principles oracle across max-detection thresholds and
+    area ranges (the parity surface of `torchmetrics_mean_ap.py:403-520`)."""
+    rng = np.random.default_rng(77)
+
+    def iou_aligned(a, b):
+        x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+        x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+        inter = max(0, x2 - x1) * max(0, y2 - y1)
+        ar_a = (a[2] - a[0]) * (a[3] - a[1])
+        ar_b = (b[2] - b[0]) * (b[3] - b[1])
+        return inter / (ar_a + ar_b - inter) if inter else 0.0
+
+    ranges = {"all": (0.0, 1e10), "tiny": (0.0, 6.0), "big": (6.0, 1e10)}
+    max_dets = [1, 2, 100]
+    for trial in range(4):
+        dets, gts, preds_dicts, target_dicts = [], [], [], []
+        for _ in range(4):
+            n_gt, n_det = rng.integers(0, 4), rng.integers(0, 6)
+            gt_boxes = []
+            for _ in range(n_gt):
+                x, y = rng.uniform(0, 20, 2)
+                w, h = rng.uniform(0.8, 4, 2)
+                gt_boxes.append((x, y, x + w, y + h))
+            det = []
+            for _ in range(n_det):
+                if gt_boxes and rng.random() < 0.6:
+                    g = gt_boxes[rng.integers(len(gt_boxes))]
+                    j = rng.uniform(-0.8, 0.8, 4)
+                    box = (g[0] + j[0], g[1] + j[1], g[2] + j[2], g[3] + j[3])
+                else:
+                    x, y = rng.uniform(0, 20, 2)
+                    w, h = rng.uniform(0.8, 4, 2)
+                    box = (x, y, x + w, y + h)
+                box = (min(box[0], box[2]), min(box[1], box[3]),
+                       max(box[0], box[2]) + 1e-3, max(box[1], box[3]) + 1e-3)
+                det.append((box, float(rng.random())))
+            dets.append(det)
+            gts.append(gt_boxes)
+            preds_dicts.append({
+                "boxes": np.array([b for b, _ in det]).reshape(-1, 4),
+                "scores": np.array([s for _, s in det]),
+                "labels": np.zeros(len(det), np.int64)})
+            target_dicts.append({
+                "boxes": np.array(gt_boxes).reshape(-1, 4),
+                "labels": np.zeros(len(gt_boxes), np.int64)})
+
+        thr = 0.3
+        engine = MeanAveragePrecision([thr], max_detection_thresholds=max_dets,
+                                      area_ranges=ranges)
+        engine.update(preds_dicts, target_dicts)
+        res = engine.compute()
+
+        # map at area "all" uses the LARGEST max-det threshold
+        naive_map = _naive_coco_ap_ranged(dets, gts, iou_aligned, thr, 100,
+                                          ranges["all"])
+        if naive_map is None:
+            assert res["map"] == -1.0
+        else:
+            assert res["map"] == pytest.approx(naive_map, abs=1e-9), \
+                f"trial {trial} map"
+
+        # mar_<k> per max-det threshold
+        for md in max_dets:
+            naive_mar = _naive_coco_ap_ranged(dets, gts, iou_aligned, thr,
+                                              md, ranges["all"],
+                                              avg_recall=True)
+            if naive_mar is None:
+                assert res[f"mar_{md}"] == -1.0
+            else:
+                assert res[f"mar_{md}"] == pytest.approx(naive_mar,
+                                                         abs=1e-9), \
+                    f"trial {trial} mar_{md}"
+
+        # per-area summaries at the largest max-det threshold
+        for name in ("tiny", "big"):
+            naive_a = _naive_coco_ap_ranged(dets, gts, iou_aligned, thr, 100,
+                                            ranges[name])
+            got = res[f"map_{name}"]
+            if naive_a is None:
+                assert got == -1.0
+            else:
+                assert got == pytest.approx(naive_a, abs=1e-9), \
+                    f"trial {trial} map_{name}"
