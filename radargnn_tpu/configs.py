@@ -279,6 +279,10 @@ class TrainingConfig:
     checkpoint_every_epochs: int = 0
     # Mesh shape for pjit: {"data": -1} style dict; empty → single device.
     mesh_axes: dict = field(default_factory=dict)
+    # Tensor parallelism: shard eligible MLP kernels column-parallel over
+    # the mesh 'model' axis (parallel/tensor.py). Capability hook — at the
+    # reference's ≤464 widths this is perf-neutral (docs/SCALING.md).
+    shard_params_over_model: bool = False
     # Train steps fused into one device dispatch via lax.scan (amortizes
     # host→device dispatch latency; 1 = one dispatch per batch).
     scan_steps_per_dispatch: int = 1

@@ -103,6 +103,17 @@ class Trainer:
         self._weights = jnp.asarray(w, dtype=jnp.float32)
         self._val_weights = jnp.asarray(vw, dtype=jnp.float32)
 
+        if mesh is not None and "model" in mesh.axis_names \
+                and getattr(config, "shard_params_over_model", False):
+            # tensor parallelism: column-parallel kernels over 'model';
+            # GSPMD partitions the matmuls from these input shardings alone
+            from radargnn_tpu.parallel.tensor import (
+                apply_param_shardings, detnet_param_shardings,
+            )
+            sh = detnet_param_shardings(mesh, variables["params"])
+            variables = dict(variables, params=apply_param_shardings(
+                variables["params"], sh))
+
         self.tx = _make_optimizer(config.learning_rate,
                                   config.regularization_strength)
         self.state = TrainState(
