@@ -70,6 +70,9 @@ WINDOWS = os.environ.get("BENCH_WINDOWS", "1") == "1"
 # 3% fits the flagship clouds' actual window overflow (~2.9%) and beats 4%
 # by ~2% end-to-end (smaller padded overflow arrays in the XLA path)
 OVF_FRAC = float(os.environ.get("BENCH_OVF_FRAC", "0.03"))
+# spread-tiling run cap (0 = contiguous CSR runs); see
+# configs.GNNArchitectureConfig.fused_run_cap
+RUN_CAP = int(os.environ.get("BENCH_RUN_CAP", "0"))
 
 
 def main():
@@ -128,6 +131,8 @@ def main():
         tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
         if WINDOWS:
             tiling = tiling + (FUSED_WINDOW_BLOCKS, OVF_FRAC)
+            if RUN_CAP:
+                tiling = tiling + (RUN_CAP,)
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=NUM_POINTS, bg_index=5,

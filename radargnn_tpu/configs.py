@@ -238,6 +238,14 @@ class GNNArchitectureConfig:
     # equivalent (docs/RESULTS.md); set false (or RADARGNN_FUSED_BF16_MAX=0)
     # for exact-f32 routing.
     fused_bf16_max: bool = True
+    # Spread tiling run cap for the windowed kernels: cap the longest
+    # same-receiver edge run per tile (host scheduler spreads a receiver's
+    # edges across its block's tiles). run_cap=1 removes the forward
+    # kernel's segmented-max roll loop entirely (the landing one-hot matmul
+    # + cross-tile max do the reduction on the MXU) — the measured VPU
+    # bottleneck of the v3 forward. None keeps contiguous CSR runs with
+    # log2(max in-degree) roll passes. Env RADARGNN_FUSED_RUN_CAP overrides.
+    fused_run_cap: Optional[int] = None
 
 
 @dataclass

@@ -65,8 +65,12 @@ class GraphDataLoader:
         # compiled windowed-kernel executable
         self.roll_passes: Optional[int] = None
         if csr_tiling is not None and len(csr_tiling) >= 3:
-            from radargnn_tpu.graph.batch import roll_passes_bound
-            self.roll_passes = roll_passes_bound(samples, csr_tiling[1])
+            if len(csr_tiling) >= 5 and csr_tiling[4] is not None:
+                # spread tiling caps runs at run_cap by construction
+                self.roll_passes = (int(csr_tiling[4]) - 1).bit_length()
+            else:
+                from radargnn_tpu.graph.batch import roll_passes_bound
+                self.roll_passes = roll_passes_bound(samples, csr_tiling[1])
 
         n_max = max(s.num_nodes for s in samples)
         e_max = max(s.num_edges for s in samples)

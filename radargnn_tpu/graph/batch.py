@@ -332,10 +332,13 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     """
     window_blocks = None
     ovf_frac = 0.08
+    run_cap = None
     if csr_tiling is not None and len(csr_tiling) >= 3:
         node_block, edge_tile, window_blocks = csr_tiling[:3]
-        if len(csr_tiling) == 4:
+        if len(csr_tiling) >= 4:
             ovf_frac = csr_tiling[3]
+        if len(csr_tiling) >= 5:
+            run_cap = csr_tiling[4]
         csr_tiling = (node_block, edge_tile)
         sample = morton_sort_sample(sample)
     if halo_partition is not None and window_blocks is None:
@@ -399,7 +402,8 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
             senders, receivers, max_nodes, mp, node_block, edge_tile,
             window_blocks, edge_mask=edge_mask,
             ovf_frac=halo_partition.get("ovf_frac", 0.5),
-            budgets=halo_partition.get("budgets"))
+            budgets=halo_partition.get("budgets"),
+            run_cap=halo_partition.get("run_cap", run_cap))
         ef = out["edge_feat"]
         e_t = np.where((plan.recv_t >= 0)[..., None],
                        ef[plan.tile_eperm], 0.0).astype(np.float32)
@@ -428,7 +432,7 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         (perm, tile_blocks, padded_recv, senders_local, tile_win,
          ovf_idx) = prepare_windowed_csr_tiles(
             senders, receivers, edge_mask, max_nodes, node_block, edge_tile,
-            window_blocks, total_tiles, budget)
+            window_blocks, total_tiles, budget, run_cap=run_cap)
         nblocks = (max_nodes + node_block - 1) // node_block
         pmask = window_part_mask(tile_win, nblocks, window_blocks)
         ovf_valid = ovf_idx >= 0
@@ -542,7 +546,11 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
         if csr_tiling is not None and halo_partition is None else None
     if geometry is not None and csr_tiling is not None \
             and len(csr_tiling) >= 3:
-        if roll_passes is None:
+        if len(csr_tiling) >= 5 and csr_tiling[4] is not None:
+            # spread tiling: run length is capped by construction, so the
+            # pass count is static regardless of the in-degree distribution
+            roll_passes = (int(csr_tiling[4]) - 1).bit_length()
+        elif roll_passes is None:
             roll_passes = roll_passes_bound(samples, geometry[1])
         geometry = geometry + (roll_passes,)
     valid_edges = int(sum(s.num_edges for s in samples))

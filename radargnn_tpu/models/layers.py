@@ -37,6 +37,9 @@ FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 3))
 # make_fused_hoisted_aggregate_v3); None = follow the model config
 # (fused_bf16_max, default on), "0"/"1" forces it off/on for experiments
 _BF16_MAX_ENV = _os.environ.get("RADARGNN_FUSED_BF16_MAX")
+# spread-tiling run cap (see configs.GNNArchitectureConfig.fused_run_cap);
+# "" / unset = follow the model config, "0" forces contiguous CSR runs
+_RUN_CAP_ENV = _os.environ.get("RADARGNN_FUSED_RUN_CAP")
 
 
 def fused_csr_tiling(model_config):
@@ -49,6 +52,11 @@ def fused_csr_tiling(model_config):
         tiling = tiling + (
             FUSED_WINDOW_BLOCKS,
             getattr(model_config, "fused_overflow_fraction", 0.05))
+        run_cap = getattr(model_config, "fused_run_cap", None)
+        if _RUN_CAP_ENV:
+            run_cap = int(_RUN_CAP_ENV) or None
+        if run_cap is not None:
+            tiling = tiling + (run_cap,)
     return tiling
 
 

@@ -156,6 +156,104 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
             padded_recv.astype(np.int32))
 
 
+def prepare_spread_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
+                             num_nodes: int, node_block: int, edge_tile: int,
+                             run_cap: int,
+                             total_tiles: Optional[int] = None):
+    """Spread tiling: like prepare_csr_tiles, but each receiver's edges are
+    distributed across its node block's tiles so that no tile holds more
+    than `run_cap` edges of the same receiver (one contiguous chunk each).
+
+    With run_cap == 2**p the windowed kernels' segmented-max roll loop needs
+    only p passes — run_cap=1 removes it ENTIRELY: the per-tile landing
+    one-hot matmul (MXU) plus the cross-tile o_ref max already reduce
+    per-receiver maxima when every receiver appears at most once per tile.
+    The forward kernel then has no [TE,H]-wide VPU roll/select chain — the
+    measured VPU bottleneck of the v3 forward (docs/RESULTS.md).
+
+    The tile count per block is unchanged (ceil(block_edges/edge_tile)):
+    spreading only permutes edges among a block's existing tiles. Edges that
+    cannot be placed under the cap (receiver in-degree > tiles*run_cap, or
+    packing fragmentation) are returned in `leftover` for the caller's
+    overflow path.
+
+    Returns (perm, tile_node_block, padded_receivers, leftover_edge_idx).
+    """
+    receivers = np.asarray(receivers)
+    edge_mask = np.asarray(edge_mask)
+    key = np.where(edge_mask, receivers, num_nodes)
+    order = np.argsort(key, kind="stable")
+    sorted_recv = key[order]
+
+    num_blocks = -(-num_nodes // node_block)
+    perm_chunks = []
+    recv_chunks = []
+    tile_blocks = []
+    leftover = []
+    for blk in range(num_blocks):
+        lo = np.searchsorted(sorted_recv, blk * node_block, side="left")
+        hi = np.searchsorted(sorted_recv, min((blk + 1) * node_block,
+                                              num_nodes), side="left")
+        run = order[lo:hi]                       # edge ids, receiver-sorted
+        rr = sorted_recv[lo:hi]
+        eb = len(run)
+        t = max(1, -(-eb // edge_tile))
+        if eb == 0:
+            perm_chunks.append(np.zeros(edge_tile, np.int64))
+            recv_chunks.append(np.full(edge_tile, -1, np.int64))
+            tile_blocks.append(blk)
+            continue
+        # receiver runs within the block
+        starts = np.flatnonzero(np.diff(rr, prepend=rr[0] - 1))
+        bounds = np.append(starts, eb)
+        degs = np.diff(bounds)
+        fill = np.zeros(t, np.int64)
+        tiles: list = [[] for _ in range(t)]     # (receiver, edge-id chunk)
+        # descending chunk-count first: high-degree receivers need the most
+        # distinct tiles, place them while every tile still has room
+        for ri in np.argsort(-degs, kind="stable"):
+            a, b = bounds[ri], bounds[ri + 1]
+            chunks = [run[c:min(c + run_cap, b)]
+                      for c in range(a, b, run_cap)]
+            used = 0
+            for tid in np.argsort(fill, kind="stable"):
+                if used >= len(chunks):
+                    break
+                c = chunks[used]
+                if fill[tid] + len(c) <= edge_tile:
+                    tiles[tid].append((rr[a], c))
+                    fill[tid] += len(c)
+                    used += 1
+            leftover.extend(chunks[used:])
+        for tid in range(t):
+            tiles[tid].sort(key=lambda rc: rc[0])  # receiver-contiguous runs
+            ids = (np.concatenate([c for _, c in tiles[tid]])
+                   if tiles[tid] else np.zeros(0, np.int64))
+            pad = edge_tile - len(ids)
+            perm_chunks.append(np.concatenate([ids, np.zeros(pad, np.int64)]))
+            recv_chunks.append(np.concatenate(
+                [receivers[ids], np.full(pad, -1, np.int64)]))
+            tile_blocks.append(blk)
+
+    perm = np.concatenate(perm_chunks)
+    padded_recv = np.concatenate(recv_chunks)
+    if total_tiles is not None:
+        cur = len(tile_blocks)
+        if cur > total_tiles:
+            raise ValueError(f"need {cur} tiles, budget {total_tiles}")
+        extra = total_tiles - cur
+        if extra:
+            perm = np.concatenate([perm, np.zeros(extra * edge_tile,
+                                                  np.int64)])
+            padded_recv = np.concatenate(
+                [padded_recv, np.full(extra * edge_tile, -1, np.int64)])
+            tile_blocks = list(tile_blocks) + [tile_blocks[-1]] * extra
+    left = (np.concatenate(leftover) if leftover
+            else np.zeros(0, np.int64))
+    return (perm.astype(np.int32), np.asarray(tile_blocks, np.int32),
+            padded_recv.astype(np.int32), left.astype(np.int64))
+
+
 def tile_roll_passes(padded_seg: np.ndarray, edge_tile: int) -> np.ndarray:
     """Per-tile log-roll pass count for the segmented cummax kernels.
 
@@ -209,7 +307,8 @@ def prepare_windowed_csr_tiles(senders: np.ndarray, receivers: np.ndarray,
                                node_block: int, edge_tile: int,
                                window_blocks: int,
                                total_tiles: Optional[int] = None,
-                               ovf_budget: Optional[int] = None):
+                               ovf_budget: Optional[int] = None,
+                               run_cap: Optional[int] = None):
     """Windowed CSR tiling: per receiver block, senders are covered by a
     window of `window_blocks` consecutive node blocks (host-chosen best
     cover, monotone across blocks so the kernels' revisit-zeroing works).
@@ -236,8 +335,18 @@ def prepare_windowed_csr_tiles(senders: np.ndarray, receivers: np.ndarray,
     # wb-wide sender window PER TILE (tiles span ~TE/deg receivers, so
     # their sender spread is far tighter than a whole receiver block's);
     # edges outside their tile's window become dead slots + overflow
-    perm, tile_blocks, padded_recv = prepare_csr_tiles(
-        receivers, edge_mask, num_nodes, node_block, edge_tile, total_tiles)
+    spread_left = np.zeros(0, np.int64)
+    if run_cap is not None:
+        # run-capped spread tiling (roll_passes = log2(run_cap) in the
+        # kernel); unplaceable edges join the overflow list below
+        perm, tile_blocks, padded_recv, spread_left = \
+            prepare_spread_csr_tiles(receivers, edge_mask, num_nodes,
+                                     node_block, edge_tile, run_cap,
+                                     total_tiles)
+    else:
+        perm, tile_blocks, padded_recv = prepare_csr_tiles(
+            receivers, edge_mask, num_nodes, node_block, edge_tile,
+            total_tiles)
     t = len(tile_blocks)
     valid = padded_recv >= 0
     sp = senders[perm]
@@ -271,7 +380,7 @@ def prepare_windowed_csr_tiles(senders: np.ndarray, receivers: np.ndarray,
     in_win = valid & (sp >= win_start_e) \
         & (sp < win_start_e + wb * node_block)
     ovf_slots = valid & ~in_win
-    ovf = perm[ovf_slots]
+    ovf = np.concatenate([perm[ovf_slots], spread_left])
 
     if ovf_budget is None:
         ovf_budget = max(edge_tile,
@@ -1035,15 +1144,18 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
 
     local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)    # [1, TE]
     # segmented suffix-max via log-rolls; column-oriented segment ids make
-    # each pass a select (2 VPU passes, no per-shift transpose relayout)
-    localc = jnp.transpose(local2d)                            # [TE, 1]
+    # each pass a select (2 VPU passes, no per-shift transpose relayout).
+    # With spread (run_cap=1) tiling roll_limit is 1 and the loop vanishes:
+    # the landing one-hot dot + cross-tile o_ref max do the whole reduce.
     r = m
-    shift = 1
-    while shift < roll_limit:
-        match = pltpu.roll(localc, shift, axis=0) == localc    # [TE, 1]
-        r_roll = pltpu.roll(r, shift, axis=0)
-        r = jnp.where(match, jnp.maximum(r, r_roll), r)
-        shift *= 2
+    if roll_limit > 1:
+        localc = jnp.transpose(local2d)                        # [TE, 1]
+        shift = 1
+        while shift < roll_limit:
+            match = pltpu.roll(localc, shift, axis=0) == localc  # [TE, 1]
+            r_roll = pltpu.roll(r, shift, axis=0)
+            r = jnp.where(match, jnp.maximum(r, r_roll), r)
+            shift *= 2
 
     nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
@@ -1341,8 +1453,10 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
     gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
     nb_pad = -(-num_nodes // node_block) * node_block
     # 2**roll_passes bounds the longest same-receiver run inside a tile
-    # (host metadata, see graph.batch.roll_passes_bound)
-    roll_limit = min(edge_tile, 1 << roll_passes) if roll_passes else None
+    # (host metadata, see graph.batch.roll_passes_bound); 0 passes (spread
+    # run_cap=1 tiling) removes the roll loop entirely
+    roll_limit = (min(edge_tile, 1 << roll_passes)
+                  if roll_passes is not None else None)
 
     def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
         cd = gather_dtype

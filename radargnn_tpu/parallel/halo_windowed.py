@@ -71,7 +71,8 @@ def build_halo_windowed_plan(senders: np.ndarray, receivers: np.ndarray,
                              edge_mask: Optional[np.ndarray] = None,
                              ovf_frac: float = 0.5,
                              pad_align: int = 8,
-                             budgets: Optional[dict] = None
+                             budgets: Optional[dict] = None,
+                             run_cap: Optional[int] = None
                              ) -> HaloWindowedPlan:
     """Plans the halo exchange and a windowed CSR tiling per shard.
 
@@ -107,15 +108,17 @@ def build_halo_windowed_plan(senders: np.ndarray, receivers: np.ndarray,
                                           edge_tile))
 
     # pass 1: per-shard tilings; find the common tile budget + roll bound
-    tmax, rp = budgets.get("tiles", 1), budgets.get("roll_passes", 1)
+    tmax = budgets.get("tiles", 1)
+    rp = ((run_cap - 1).bit_length() if run_cap is not None
+          else budgets.get("roll_passes", 1))
     for p in range(p_n):
         ls, lr = hp.loc_senders[p], hp.loc_receivers[p]
         mask = lr >= 0
         prep = prepare_windowed_csr_tiles(
             np.maximum(ls, 0), np.maximum(lr, 0), mask, n_aug, node_block,
-            edge_tile, window_blocks, None, win_budget)
+            edge_tile, window_blocks, None, win_budget, run_cap=run_cap)
         tmax = max(tmax, len(prep[1]))
-        if mask.any():
+        if run_cap is None and mask.any():
             deg = int(np.bincount(lr[mask], minlength=ns).max())
             rp = max(rp, int(np.ceil(np.log2(max(2, deg)))))
     if "tiles" in budgets and tmax > budgets["tiles"]:
@@ -130,7 +133,8 @@ def build_halo_windowed_plan(senders: np.ndarray, receivers: np.ndarray,
         (perm, blocks, precv, psloc, twin, ovf_idx) = \
             prepare_windowed_csr_tiles(
                 np.maximum(ls, 0), np.maximum(lr, 0), mask, n_aug,
-                node_block, edge_tile, window_blocks, tmax, win_budget)
+                node_block, edge_tile, window_blocks, tmax, win_budget,
+                run_cap=run_cap)
         tile_blocks.append(blocks)
         tile_win.append(twin)
         recv_t.append(precv)

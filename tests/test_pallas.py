@@ -504,6 +504,92 @@ def test_fused_hoisted_aggregate_v3_windowed_matches():
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("run_cap", [1, 2, 4])
+def test_fused_hoisted_aggregate_v3_spread_run_cap_matches(run_cap):
+    """Spread tiling (run_cap): forward and gradients match the XLA
+    formulation with roll_passes = log2(run_cap) — run_cap=1 exercises the
+    no-roll-loop landing-only reduction plus a heavy leftover-overflow
+    load (capacity per receiver is only tiles*run_cap)."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        make_fused_hoisted_aggregate_v3, prepare_windowed_csr_tiles,
+        window_part_mask,
+    )
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    rng = np.random.default_rng(31 + run_cap)
+    n, e, d_in, de, h = 96, 500, 24, 8, 32
+    node_block, edge_tile, wb = 16, 32, 2
+
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    w_s = rng.normal(size=(d_in, h)).astype(np.float32) * 0.3
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = rng.normal(size=(de, h)).astype(np.float32) * 0.3
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    mask = rng.random(e) < 0.9
+
+    (perm, tile_blocks, padded_recv, senders_local, tile_win,
+     ovf_idx) = prepare_windowed_csr_tiles(
+        senders, receivers, mask, n, node_block, edge_tile, wb,
+        ovf_budget=-(-e // edge_tile) * edge_tile, run_cap=run_cap)
+
+    # spread invariants: run length <= cap, one run per receiver per tile
+    v = padded_recv.reshape(-1, edge_tile)
+    for row in v:
+        vals = row[row >= 0]
+        if not len(vals):
+            continue
+        runs = np.split(vals, np.flatnonzero(np.diff(vals)) + 1)
+        assert max(len(r) for r in runs) <= run_cap
+        heads = [r[0] for r in runs]
+        assert len(heads) == len(set(heads))
+
+    # edge conservation (tiles + overflow exactly covers the valid edges)
+    placed = perm[(padded_recv >= 0)]
+    all_e = np.concatenate([placed, ovf_idx[ovf_idx >= 0]])
+    assert len(all_e) == len(np.unique(all_e)) == mask.sum()
+
+    nblocks = -(-n // node_block)
+    pmask = window_part_mask(tile_win, nblocks, wb)
+    e_t = e_feat[perm]
+    ovf_valid = ovf_idx >= 0
+    ovf_s = np.where(ovf_valid, senders[np.maximum(ovf_idx, 0)], 0)
+    ovf_r = np.where(ovf_valid, receivers[np.maximum(ovf_idx, 0)], -1)
+    e_ovf = np.where(ovf_valid[:, None],
+                     e_feat[np.maximum(ovf_idx, 0)], 0.0).astype(np.float32)
+
+    fused = make_fused_hoisted_aggregate_v3(
+        n, node_block, edge_tile, wb,
+        roll_passes=(run_cap - 1).bit_length())
+    consts = tuple(map(jnp.asarray, (padded_recv, tile_blocks, tile_win,
+                                     senders_local, pmask, ovf_s, ovf_r)))
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_, e_ovf_):
+        return fused(x_, w_s_, e_t_, w_e_, offset_, e_ovf_, *consts)
+
+    def f_xla(x_, w_s_, e_feat_, w_e_, offset_):
+        operand = (x_ @ w_s_)[jnp.asarray(senders)] + e_feat_ @ w_e_
+        return hoisted_segment_max(operand, jnp.asarray(receivers), n,
+                                   jnp.asarray(mask), False, offset_)
+
+    args_p = tuple(map(jnp.asarray, (x, w_s, e_t, w_e, offset, e_ovf)))
+    args_x = tuple(map(jnp.asarray, (x, w_s, e_feat, w_e, offset)))
+
+    np.testing.assert_allclose(np.asarray(f_pallas(*args_p)),
+                               np.asarray(f_xla(*args_x)),
+                               rtol=1e-4, atol=1e-4)
+    g_p = jax.grad(lambda *a: (f_pallas(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *a: (f_xla(*a) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, a, bb_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
 def test_prepare_windowed_csr_tiles_partition():
     """Every valid edge lands exactly once in (in-window tiles) or overflow;
     senders_local is consistent; tile_win is monotone."""
