@@ -129,16 +129,34 @@ def point_iou(boxes_pred: np.ndarray, boxes_gt: np.ndarray, points: np.ndarray,
     uniq = np.unique(points, axis=0) if points.size else points.reshape(0, 2)
 
     def membership(boxes, pts):
-        m = np.zeros((boxes.shape[0], pts.shape[0]), dtype=bool)
-        for i in range(boxes.shape[0]):
-            if box_aligned:
-                x_min, y_min, x_max, y_max = boxes[i, :4]
-                m[i] = ((pts[:, 0] >= x_min) & (pts[:, 0] <= x_max)
-                        & (pts[:, 1] >= y_min) & (pts[:, 1] <= y_max))
-            else:
-                corners = get_box_corners(*boxes[i, :5])
-                m[i] = points_in_rect_mask(corners, pts)
-        return m
+        if boxes.shape[0] == 0 or pts.shape[0] == 0:
+            return np.zeros((boxes.shape[0], pts.shape[0]), dtype=bool)
+        if box_aligned:
+            b = boxes[:, :4, None]                            # [B, 4, 1]
+            return ((pts[None, :, 0] >= b[:, 0])
+                    & (pts[None, :, 0] <= b[:, 2])
+                    & (pts[None, :, 1] >= b[:, 1])
+                    & (pts[None, :, 1] <= b[:, 3]))
+        # batched rotated membership: corners for ALL boxes at once, then
+        # one broadcast triangle-area inclusion test [B, N] (replaces the
+        # per-box Python loop — full-dataset eval no longer scales with
+        # detection count in interpreter time)
+        x, y, l, w = (boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3])
+        t = np.deg2rad(boxes[:, 4])
+        ct, st = np.cos(t), np.sin(t)
+        bx = np.stack([l / 2, l / 2, -l / 2, -l / 2], axis=1)  # [B, 4]
+        by = np.stack([w / 2, -w / 2, -w / 2, w / 2], axis=1)
+        cx = bx * ct[:, None] - by * st[:, None] + x[:, None]  # [B, 4]
+        cy = bx * st[:, None] + by * ct[:, None] + y[:, None]
+        nxt = [1, 2, 3, 0]
+        abcd = 0.5 * np.abs((cy[:, 0] - cy[:, 2]) * (cx[:, 3] - cx[:, 1])
+                            + (cy[:, 1] - cy[:, 3]) * (cx[:, 0] - cx[:, 2]))
+        px, py = pts[None, None, :, 0], pts[None, None, :, 1]  # [1,1,N]
+        x1, y1 = cx[:, :, None], cy[:, :, None]                # [B,4,1]
+        x2, y2 = cx[:, nxt, None], cy[:, nxt, None]
+        tri = 0.5 * np.abs(x1 * (y2 - py) + x2 * (py - y1)
+                           + px * (y1 - y2))                   # [B,4,N]
+        return (tri.sum(axis=1) - abcd[:, None]) < 1e-6
 
     mu_p = membership(boxes_pred, uniq).astype(np.int64)
     mu_g = membership(boxes_gt, uniq).astype(np.int64)
