@@ -280,3 +280,9 @@ def test_fused_csr_tiling_from_config():
     csr = GNNArchitectureConfig(**base, use_fused_aggregation=True,
                                 fused_tiling="csr")
     assert fused_csr_tiling(csr) == (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+
+    capped = GNNArchitectureConfig(**base, use_fused_aggregation=True,
+                                   fused_overflow_fraction=0.03,
+                                   fused_run_cap=4)
+    assert fused_csr_tiling(capped) == (
+        FUSED_NODE_BLOCK, FUSED_EDGE_TILE, FUSED_WINDOW_BLOCKS, 0.03, 4)

@@ -709,6 +709,63 @@ def test_windowed_path_radius_graph_hub_degrees():
                                rtol=1e-3, atol=1e-4)
 
 
+def test_windowed_spread_run_cap_trains_like_xla():
+    """End-to-end plumbing of the spread (run_cap) tiling: loader 5-tuple
+    csr_tiling -> stack_samples -> FlatTiling.roll_passes ->
+    make_fused_hoisted_aggregate_v3 — one Trainer epoch on radius graphs
+    (hub in-degrees) matches the XLA path losses. run_cap=1 exercises the
+    zero-roll-pass kernel and the leftover-overflow route through the model."""
+    import dataclasses
+
+    import jax
+
+    from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
+    from radargnn_tpu.data.loader import GraphDataLoader
+    from radargnn_tpu.data.synthetic import DEFAULT_GRAPH_CONFIG, make_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.train.trainer import Trainer, set_seeds
+
+    cfg = dataclasses.replace(
+        DEFAULT_GRAPH_CONFIG, graph_construction_algorithm="radius",
+        graph_construction_settings={"k": 20, "r": 18.0})
+    cfg.__post_init__()
+    samples = make_samples(num_frames=2, num_points=150, seed=5,
+                           graph_config=cfg)
+
+    losses = {}
+    for tiling in (None, (32, 64, 2, 0.9, 1), (32, 64, 2, 0.7, 4)):
+        arch = GNNArchitectureConfig(
+            node_feature_dimension=samples[0].node_feat.shape[1],
+            edge_feature_dimension=2, conv_layer_dimensions=[16],
+            classification_head_layer_dimensions=[6],
+            regression_head_layer_dimensions=[5],
+            conv_layer_type="MPNNConv",
+            initial_node_feature_embedding=False,
+            initial_edge_feature_embedding=False,
+            batch_norm_in_mlps=False, assume_sorted_edges=True,
+            use_fused_aggregation=tiling is not None)
+        tcfg = TrainingConfig(
+            dataset="radarscenes", learning_rate=1e-3, epochs=1, batch_size=2,
+            shuffle=False, bg_index=5, deterministic=True, seed=3)
+        key = set_seeds(3)
+        tr = GraphDataLoader(samples, 2, False, 5, seed=1, csr_tiling=tiling)
+        if tiling is not None:
+            assert tr.roll_passes == (tiling[4] - 1).bit_length()
+        va = GraphDataLoader(samples, 2, False, 5, seed=1, csr_tiling=tiling)
+        batch = next(iter(tr))
+        model, variables = create_detnet_state(arch, key, batch)
+        trainer = Trainer(tcfg, model, variables)
+        trainer.fit({"train": tr, "validate": va}, verbose=False)
+        losses[tiling] = (trainer.train_loss, trainer.valid_loss)
+
+    ref = losses[None]
+    for tiling, got in losses.items():
+        if tiling is None:
+            continue
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(got[1], ref[1], rtol=1e-3, atol=1e-4)
+
+
 def test_fused_hoisted_aggregate_v3_bf16_max_semantics():
     """bf16_max (backward-only): the forward stays exact f32; the backward
     gathers bf16(inner) and routes gradients by exact bf16 equality. A
