@@ -74,6 +74,9 @@ def main():
             tiling = tiling + (FUSED_WINDOW_BLOCKS,
                                float(os.environ.get("BENCH_OVF_FRAC",
                                                     "0.04")))
+            run_cap = int(os.environ.get("BENCH_RUN_CAP", "0"))
+            if run_cap:
+                tiling = tiling + (run_cap,)
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=args.points, bg_index=5,
