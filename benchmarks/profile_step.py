@@ -55,7 +55,8 @@ def main():
         edge_feature_embedding_layer_dimensions=[4, 8, 16],
         conv_layer_type="MPNNConv", batch_norm_in_mlps=False,
         compute_dtype="bfloat16", assume_sorted_edges=True,
-        use_fused_aggregation=fused)
+        use_fused_aggregation=fused,
+        fused_bf16_max=os.environ.get("BENCH_BF16_MAX", "1") == "1")
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=1e-3, epochs=1,
         batch_size=args.graphs, shuffle=False, bg_index=5,
@@ -74,7 +75,9 @@ def main():
             tiling = tiling + (FUSED_WINDOW_BLOCKS,
                                float(os.environ.get("BENCH_OVF_FRAC",
                                                     "0.04")))
-            run_cap = int(os.environ.get("BENCH_RUN_CAP", "0"))
+            # default matches bench.py so profiles trace the same kernel
+            # configuration the bench measures (spread tiling, 2 roll passes)
+            run_cap = int(os.environ.get("BENCH_RUN_CAP", "4"))
             if run_cap:
                 tiling = tiling + (run_cap,)
     else:

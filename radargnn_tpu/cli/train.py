@@ -15,6 +15,24 @@ from radargnn_tpu.parallel.mesh import make_mesh
 from radargnn_tpu.train.trainer import Trainer, set_seeds
 
 
+def halo_partition_from_configs(model_config, mesh) -> dict | None:
+    """Loader `halo_partition` dict for a mesh with model-axis edge
+    partitioning; None when the mesh has no model axis. The window-overflow
+    budget comes from the first-class `halo_overflow_fraction` config field
+    (MODEL_ARCHITECTURE section; see configuration_description.yml)."""
+    if mesh is None or mesh.shape.get("model", 1) <= 1:
+        return None
+    from radargnn_tpu.models.layers import fused_csr_tiling
+    csr_tiling = fused_csr_tiling(model_config)
+    if csr_tiling is None or len(csr_tiling) < 3:
+        raise SystemExit(
+            "mesh_axes with model>1 requires use_fused_aggregation with "
+            "windowed tiling (the halo path runs the windowed kernels)")
+    return {"dp": mesh.shape.get("data", 1),
+            "mp": mesh.shape["model"],
+            "ovf_frac": getattr(model_config, "halo_overflow_fraction", 0.5)}
+
+
 def main(path_to_graph_data: str, path_to_results: str,
          path_to_config: str, resume: bool = False) -> None:
     config_dict = UserConfigurationReader.read_config_file(path_to_config)
@@ -34,20 +52,11 @@ def main(path_to_graph_data: str, path_to_results: str,
     print(">>> loading data")
     from radargnn_tpu.models.layers import fused_csr_tiling
     csr_tiling = fused_csr_tiling(model_config)
-    halo_partition = None
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
-        # edge partitioning over the mesh 'model' axis: the loader builds
-        # per-graph halo plans and the trainer routes conv aggregation
-        # through the halo-windowed kernels (parallel/halo_windowed.py)
-        if csr_tiling is None or len(csr_tiling) < 3:
-            raise SystemExit(
-                "mesh_axes with model>1 requires use_fused_aggregation with "
-                "windowed tiling (the halo path runs the windowed kernels)")
-        halo_partition = {"dp": mesh.shape.get("data", 1),
-                          "mp": mesh.shape["model"],
-                          "ovf_frac": getattr(model_config,
-                                              "fused_overflow_fraction",
-                                              0.05) * 10}
+    # edge partitioning over the mesh 'model' axis: the loader builds
+    # per-graph halo plans and the trainer routes conv aggregation
+    # through the halo-windowed kernels (parallel/halo_windowed.py)
+    halo_partition = halo_partition_from_configs(model_config, mesh)
+    if halo_partition is not None:
         print(f">>> halo edge partitioning: {halo_partition}")
     data_loaders, dataset_config_dict = get_data_loaders(
         ["train", "validate"], path_to_graph_data,

@@ -228,16 +228,18 @@ class GNNArchitectureConfig:
     # Static overflow-edge budget fraction for the windowed tiling; raise if
     # the loader reports "window overflow ... exceeds budget".
     fused_overflow_fraction: float = 0.05
-    # Backward-only bf16 max-gradient routing in the windowed kernels: the
-    # backward gathers bf16(inner) (its largest f32 matmul rides the bf16
-    # MXU, +1.3% measured); forward maxima/outputs stay exact f32. Gradient
-    # semantics caveat: every message tied with the max at bf16 resolution
-    # receives the FULL upstream cotangent, so k ties contribute k·g — NOT a
-    # valid subgradient when ties occur (exact-f32 routing has the same
-    # all-ties behavior, just at f32 resolution). Convergence measured
-    # equivalent (docs/RESULTS.md); set false (or RADARGNN_FUSED_BF16_MAX=0)
-    # for exact-f32 routing.
-    fused_bf16_max: bool = True
+    # OPT-IN speed knob: backward-only bf16 max-gradient routing in the
+    # windowed kernels — the backward gathers bf16(inner) so its largest f32
+    # matmul rides the bf16 MXU (+1.3% measured); forward maxima/outputs
+    # stay exact f32. Gradient-semantics caveat (why this is OFF by
+    # default): every message tied with the max at bf16 resolution receives
+    # the FULL upstream cotangent, so k ties contribute k·g — not a valid
+    # subgradient when bf16 ties occur. Convergence measured equivalent on
+    # the flagship runs (docs/RESULTS.md); enable explicitly (or via
+    # RADARGNN_FUSED_BF16_MAX=1) when that trade is acceptable. The default
+    # exact-f32 routing gives each bf16-tied edge gradient only when it is
+    # the true f32 max (tested in tests/test_pallas.py).
+    fused_bf16_max: bool = False
     # Spread tiling run cap for the windowed kernels: cap the longest
     # same-receiver edge run per tile (host scheduler spreads a receiver's
     # edges across its block's tiles). run_cap=1 removes the forward
@@ -246,6 +248,14 @@ class GNNArchitectureConfig:
     # bottleneck of the v3 forward. None keeps contiguous CSR runs with
     # log2(max in-degree) roll passes. Env RADARGNN_FUSED_RUN_CAP overrides.
     fused_run_cap: Optional[int] = None
+    # Halo (multi-chip edge partitioning) window-overflow budget: fraction
+    # of each shard's LOCAL edge budget reserved for edges whose sender
+    # misses the Morton window. Per-shard partitions see a wider sender
+    # spread than a single-chip tiling, so this is budgeted separately from
+    # fused_overflow_fraction (single-chip default 0.05; halo default 0.5).
+    # Too small → build_halo_windowed_plan raises at plan build with the
+    # required size; too large only wastes overflow-path padding.
+    halo_overflow_fraction: float = 0.5
 
 
 @dataclass

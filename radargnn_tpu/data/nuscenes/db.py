@@ -168,6 +168,42 @@ class NuScenes:
         return Box(ann["translation"], ann["size"],
                    Quaternion(ann["rotation"]), name=name, token=ann["token"])
 
+    def box_velocity(self, sample_annotation_token: str,
+                     max_time_diff: float = 1.5) -> np.ndarray:
+        """Global-frame box velocity [vx, vy, vz] by finite difference over
+        the instance's neighboring annotations — devkit
+        `NuScenes.box_velocity` semantics (the official eval the reference
+        invokes at `postprocessor/nuscenes/evaluation.py:70-74` computes GT
+        velocities this way): centered difference over (prev, next) when
+        both exist, one-sided otherwise, NaN for single annotations or when
+        the time gap exceeds `max_time_diff` seconds (doubled for the
+        centered case)."""
+        current = self.get("sample_annotation", sample_annotation_token)
+        has_prev = current["prev"] != ""
+        has_next = current["next"] != ""
+        if not has_prev and not has_next:
+            return np.array([np.nan, np.nan, np.nan])
+
+        first = self.get("sample_annotation", current["prev"]) \
+            if has_prev else current
+        last = self.get("sample_annotation", current["next"]) \
+            if has_next else current
+
+        pos_diff = (np.asarray(last["translation"], float)
+                    - np.asarray(first["translation"], float))
+        time_last = 1e-6 * self.get("sample", last["sample_token"])[
+            "timestamp"]
+        time_first = 1e-6 * self.get("sample", first["sample_token"])[
+            "timestamp"]
+        time_diff = time_last - time_first
+
+        if has_next and has_prev:
+            # centered difference spans two keyframe gaps
+            max_time_diff *= 2
+        if time_diff > max_time_diff:
+            return np.array([np.nan, np.nan, np.nan])
+        return pos_diff / time_diff
+
     def get_boxes(self, sample_data_token: str) -> List[Box]:
         """Boxes (global frame) for a sample_data. Keyframe path only — the
         reference pipeline always queries keyframes (`sample['data'][sensor]`,

@@ -18,6 +18,10 @@ reference invokes (`postprocessor/nuscenes/evaluation.py:70-74` in
     and barrier vel/attr are NaN and excluded via nanmean,
   * classes absent from the GT score AP 0 / TP errors 1.0 and ARE included
     in the means over all ten classes (devkit `DetectionMetrics.mean_ap`),
+  * GT box velocities by finite difference over the instance's neighboring
+    annotations (devkit `NuScenes.box_velocity`, incl. the max-time-gap
+    rule; NaN velocities yield NaN vel_err, skipped by the NaN-aware
+    cumulative mean exactly as the devkit's `cummean` does),
   * NDS = (5·mAP + Σ max(1 − mTP, 0)) / 10 over the five TP scores.
 """
 
@@ -298,13 +302,17 @@ def ground_truth_from_db(nusc, sample_tokens: List[str]):
             if ann.get("attribute_tokens"):
                 attr = nusc.get("attribute",
                                 ann["attribute_tokens"][0])["name"]
+            # devkit load_gt: GT velocity by finite difference over the
+            # instance's neighboring annotations (NaN when undefined; the
+            # NaN vel_err is then skipped by _cummean, as the devkit does)
+            vel = nusc.box_velocity(ann["token"])[:2]
             boxes.append({
                 "translation": tuple(box.center),
                 "size": tuple(box.wlh),
                 "rotation": tuple(box.orientation.elements),
                 "detection_name": DETECTION_NAMES[label],
                 "attribute_name": attr,
-                "velocity": (0.0, 0.0),
+                "velocity": (float(vel[0]), float(vel[1])),
             })
         gt[token] = boxes
     return gt, ego

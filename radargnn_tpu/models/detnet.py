@@ -135,7 +135,7 @@ class DetNet(nn.Module):
                              post_layers=cfg.conv_post_mlp_layer_number,
                              use_edge_encoder=cfg.conv_use_edge_encoder,
                              dtype=dtype, sorted_edges=sorted_edges,
-                             bf16_max=getattr(cfg, "fused_bf16_max", True),
+                             bf16_max=getattr(cfg, "fused_bf16_max", False),
                              name=f"conv_{i}")(x, senders, receivers, e,
                                                edge_mask, sender_csr, tiling,
                                                halo)
@@ -145,7 +145,7 @@ class DetNet(nn.Module):
                     pre_layers=cfg.conv_pre_mlp_layer_number,
                     post_layers=cfg.conv_post_mlp_layer_number,
                     dtype=dtype, sorted_edges=sorted_edges,
-                    bf16_max=getattr(cfg, "fused_bf16_max", True),
+                    bf16_max=getattr(cfg, "fused_bf16_max", False),
                     name=f"conv_{i}")(x, senders, receivers, e, edge_mask,
                                       tiling, halo)
             else:

@@ -40,6 +40,13 @@ _BF16_MAX_ENV = _os.environ.get("RADARGNN_FUSED_BF16_MAX")
 # spread-tiling run cap (see configs.GNNArchitectureConfig.fused_run_cap);
 # "" / unset = follow the model config, "0" forces contiguous CSR runs
 _RUN_CAP_ENV = _os.environ.get("RADARGNN_FUSED_RUN_CAP")
+# profile-guided windowed-kernel variants (pallas_kernels
+# make_fused_hoisted_aggregate_v3 docstring): env-switchable for perf
+# experiments; defaults follow the measured winners
+_PRECOMP_EQ = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQ", "0") == "1"
+_STREAM_M = _os.environ.get("RADARGNN_FUSED_STREAM_M", "0") == "1"
+_SENDER_DX = _os.environ.get("RADARGNN_FUSED_SENDER_DX", "0") == "1"
+_BF16_LANDING = _os.environ.get("RADARGNN_FUSED_BF16_LANDING", "0") == "1"
 
 
 def fused_csr_tiling(model_config):
@@ -77,7 +84,10 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
         fused = make_fused_hoisted_aggregate_v3(
             num_nodes, tiling.node_block, tiling.edge_tile,
             window_blocks=pmask.shape[0], roll_passes=tiling.roll_passes,
-            bf16_max=bf16_max)
+            bf16_max=bf16_max, precomp_eq=_PRECOMP_EQ,
+            stream_m=_STREAM_M and bf16_max,
+            sender_dx=_SENDER_DX or (_STREAM_M and bf16_max),
+            bf16_landing=_BF16_LANDING and bf16_max)
         return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
                      offset, ovf_e, tiling.receivers, tiling.blocks, t_win,
                      sloc, pmask, ovf_s, ovf_r)
@@ -125,7 +135,7 @@ class MPNNConv(_AggregationMixin, nn.Module):
     use_edge_encoder: bool = False
     dtype: str = "float32"
     sorted_edges: bool = False      # receivers non-decreasing (loader layout)
-    bf16_max: bool = True           # windowed kernels: bf16 backward routing
+    bf16_max: bool = False          # opt-in bf16 backward max routing
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,
@@ -234,7 +244,7 @@ class RadarPointGNNConv(_AggregationMixin, nn.Module):
     post_layers: int = 1
     dtype: str = "float32"
     sorted_edges: bool = False
-    bf16_max: bool = True           # windowed kernels: bf16 backward routing
+    bf16_max: bool = False          # opt-in bf16 backward max routing
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, senders: jnp.ndarray,

@@ -235,6 +235,13 @@ def prepare_spread_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
                 [receivers[ids], np.full(pad, -1, np.int64)]))
             tile_blocks.append(blk)
 
+    if not perm_chunks:
+        # no node blocks at all (num_nodes == 0): one dummy tile of block 0,
+        # mirroring prepare_csr_tiles' fallback
+        perm_chunks = [np.zeros(edge_tile, np.int64)]
+        recv_chunks = [np.full(edge_tile, -1, np.int64)]
+        tile_blocks = [0]
+
     perm = np.concatenate(perm_chunks)
     padded_recv = np.concatenate(recv_chunks)
     if total_tiles is not None:
@@ -1108,11 +1115,19 @@ def _window_eq(sloc_row, edge_tile, width, dtype):
 
 def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
-                         roll_limit: int, save_xg: bool):
-    x_parts = refs[:window_blocks]
-    ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[window_blocks:
-                                                     window_blocks + 5]
-    o_ref = refs[window_blocks + 5]
+                         roll_limit: int, save_xg: bool,
+                         save_m: bool = False, precomp_eq: bool = False,
+                         bf16_landing: bool = False):
+    i = window_blocks
+    x_parts = refs[:i]
+    ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[i:i + 5]
+    i += 5
+    eqs_ref = None
+    if precomp_eq:
+        eqs_ref = refs[i]
+        i += 1
+    o_ref = refs[i]
+    i += 1
     t = pl.program_id(0)
     blk = tile_blocks_ref[t]
     is_first_tile_of_block = jnp.logical_or(
@@ -1128,19 +1143,28 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     # swamp the ~32% skippable work. Keep the ungated wide one-hot matmul.
     xw = jnp.concatenate([p[:] for p in x_parts], axis=0)     # [W, d_in]
     sloc2d = sloc_ref[pl.ds(t, 1), :]                          # [1, TE]
-    eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)
+    if precomp_eq:
+        # layer-independent one-hot streamed from HBM (built ONCE per step
+        # in XLA from sloc; serves all conv layers fwd+bwd) — the in-kernel
+        # iota/compare/cast build sat on the VPU critical path of every
+        # layer while the stream rides overlapped DMA
+        eq_s = eqs_ref[:]
+    else:
+        eq_s = _window_eq(sloc2d, edge_tile, xw.shape[0], xw.dtype)
     x_g = jnp.dot(eq_s, xw,
                   preferred_element_type=jnp.float32).astype(xw.dtype)
     if save_xg:
         # stream the gathered sender rows to HBM so the backward kernel
         # skips the window one-hot re-gather entirely
-        refs[window_blocks + 6][:] = x_g
-    # NOTE (measured): quantizing m to bf16 here to shrink the landing and
-    # backward inner-gather matmuls was a net LOSS (8.81M -> 8.60M) — the
-    # [TE,H] casts/relayouts outweigh halving f32 matmuls that only cost
-    # ~2x bf16 on this chip. Keep m in f32; e@we rides bf16 operands.
+        refs[i][:] = x_g
+        i += 1
     m = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
+    if save_m:
+        # stream bf16(m) so the backward skips the operand recompute; only
+        # meaningful under bf16_max routing (sel compares in bf16 anyway)
+        refs[i][:] = m.astype(refs[i].dtype)
+        i += 1
 
     local2d = (recv_ref[pl.ds(t, 1), :] - blk * node_block)    # [1, TE]
     # segmented suffix-max via log-rolls; column-oriented segment ids make
@@ -1159,37 +1183,68 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
 
     nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
-    # NOTE (measured): a bf16 landing here (cast r after the rolls, land in
-    # bf16 — exact, the landing selects single values) was NEUTRAL overall:
-    # this kernel is VPU-bound by the roll loop (MXU runs underneath), so
-    # cutting the landing's MXU cost buys nothing and the [TE,H] cast adds
-    # to the critical path. Keep the landing f32.
-    is_last = jnp.logical_or(local2d != nxt,
-                             col == edge_tile - 1).astype(jnp.float32)
+    is_last = jnp.logical_or(local2d != nxt, col == edge_tile - 1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
-    eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
-          ).astype(jnp.float32) * is_last
-    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
-    has = jnp.sum(eq, axis=1, keepdims=True)
+    eqb = jnp.logical_and(
+        rows == jnp.broadcast_to(local2d, (node_block, edge_tile)),
+        jnp.broadcast_to(is_last, (node_block, edge_tile)))
+    if bf16_landing:
+        # bf16 landing: the one-hot selects single values, so landing in
+        # bf16 rounds the MAXIMA to bf16 (requires bf16_max backward
+        # routing) but halves the landing matmul. Measured NEUTRAL when the
+        # roll loop dominated the VPU (docs/RESULTS.md); re-tested under
+        # spread tiling where only 2 roll passes remain.
+        eq = eqb.astype(jnp.bfloat16)
+        sums = jnp.dot(eq, r.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        # at most one slot per row is set (is_last) — 0/1 exact in bf16
+        has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
+    else:
+        eq = eqb.astype(jnp.float32)
+        sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+        has = jnp.sum(eq, axis=1, keepdims=True)
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
 
 
 def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
-                         bf16_cmp: bool = False):
+                         bf16_cmp: bool = False, use_m_stream: bool = False,
+                         sender_dx: bool = False, precomp_eq: bool = False,
+                         grad_dtype=jnp.bfloat16):
     wb = window_blocks
-    (xg_ref, ws_ref, e_ref, we_ref, recv_ref, sloc_ref, inner_ref,
-     g_ref) = refs[:8]
-    de_ref, dws_ref, dwe_ref = refs[8:11]
-    dx_parts = refs[11:11 + wb]
+    i = 0
+    if use_m_stream:
+        m_ref = refs[i]                # [TE, H] bf16(m) from the forward
+        xg_ref = None
+    else:
+        m_ref = None
+        xg_ref = refs[i]
+    i += 1
+    (ws_ref, e_ref, we_ref, recv_ref, sloc_ref, inner_ref,
+     g_ref) = refs[i:i + 7]
+    i += 7
+    eqs_ref = None
+    if precomp_eq:
+        eqs_ref = refs[i]
+        i += 1
+    de_ref = refs[i]
+    i += 1
+    dws_ref = None
+    if not sender_dx:
+        dws_ref = refs[i]
+        i += 1
+    dwe_ref = refs[i]
+    i += 1
+    dx_parts = refs[i:i + wb]
 
     t = pl.program_id(0)
     blk = tile_blocks_ref[t]
 
     @pl.when(t == 0)
     def _():
-        dws_ref[:] = jnp.zeros_like(dws_ref)
+        if dws_ref is not None:
+            dws_ref[:] = jnp.zeros_like(dws_ref)
         dwe_ref[:] = jnp.zeros_like(dwe_ref)
 
     # window moved -> all parts look at fresh blocks (tile_win is monotone,
@@ -1202,15 +1257,29 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         for dxp in dx_parts:
             dxp[:] = jnp.zeros_like(dxp)
 
-    # x_g streamed from the forward kernel (no window re-gather)
-    x_g = xg_ref[:]                                            # [TE, d_in]
+    cd = grad_dtype
     w_width = wb * node_block
     sloc2d = sloc_ref[pl.ds(t, 1), :]
-    eq_s = _window_eq(sloc2d, edge_tile, w_width, x_g.dtype)   # [TE, W]
-    # recompute the message EXACTLY as the forward did (same tile shapes,
-    # deterministic MXU accumulation) so sel matches the landed maxima
-    operand = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
-        + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
+    if precomp_eq:
+        eq_s = eqs_ref[:]                                      # [TE, W]
+    else:
+        eq_s = _window_eq(sloc2d, edge_tile, w_width, cd)
+    if use_m_stream:
+        # bf16(m) streamed from the forward: no operand recompute, and the
+        # bf16 routing equality compares exactly the same values the
+        # recompute-then-round path would
+        x_g = None
+        operand = m_ref[:].astype(jnp.float32)     # exactly-bf16 values
+    else:
+        # x_g streamed from the forward kernel (no window re-gather);
+        # recompute the message EXACTLY as the forward did (same tile
+        # shapes, deterministic MXU accumulation) so sel matches the
+        # landed maxima
+        x_g = xg_ref[:]                                        # [TE, d_in]
+        operand = jnp.dot(x_g, ws_ref[:],
+                          preferred_element_type=jnp.float32) \
+            + jnp.dot(e_ref[:], we_ref[:],
+                      preferred_element_type=jnp.float32)
 
     local2d = recv_ref[pl.ds(t, 1), :] - blk * node_block
     if bf16_cmp:
@@ -1223,14 +1292,16 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         # subgradient; f32 tie semantics broadened to bf16 resolution).
         ncols = jax.lax.broadcasted_iota(jnp.int32,
                                          (edge_tile, node_block), 1)
-        eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
-        inner_at_e = jnp.dot(eq_t_c, inner_ref[:].astype(x_g.dtype),
+        eq_t_c = (ncols == jnp.transpose(local2d)).astype(cd)
+        inner_at_e = jnp.dot(eq_t_c, inner_ref[:].astype(cd),
                              preferred_element_type=jnp.float32)
         has_recv = (jnp.transpose(local2d) >= 0).astype(jnp.float32)
         # Mosaic has no bf16 vector compare — round the operand to bf16 and
         # compare in f32 (inner_at_e already holds exactly-bf16 values in
-        # f32, so f32 equality is exact bf16 equality)
-        op16 = operand.astype(jnp.bfloat16).astype(jnp.float32)
+        # f32, so f32 equality is exact bf16 equality); the streamed m is
+        # already exactly-bf16, no rounding pass needed
+        op16 = operand if use_m_stream \
+            else operand.astype(jnp.bfloat16).astype(jnp.float32)
         sel = (op16 == inner_at_e).astype(jnp.float32)
     else:
         rows = jax.lax.broadcasted_iota(jnp.int32,
@@ -1244,22 +1315,18 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         # cost. Built transposed directly from iota (no relayout).
         ncols = jax.lax.broadcasted_iota(jnp.int32,
                                          (edge_tile, node_block), 1)
-        eq_t_c = (ncols == jnp.transpose(local2d)).astype(x_g.dtype)
+        eq_t_c = (ncols == jnp.transpose(local2d)).astype(cd)
         has_recv = jnp.sum(eq, axis=0)[:, None]
         sel = (jnp.abs(operand - inner_at_e)
                <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
-    g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(x_g.dtype),
+    g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(cd),
                      preferred_element_type=jnp.float32)
     d_op = sel * has_recv * g_at_e                             # [TE, H]
 
-    d_op_c = d_op.astype(x_g.dtype)
-    d_xg = jnp.dot(d_op_c, ws_ref[:].T,
-                   preferred_element_type=jnp.float32)         # [TE, d_in]
+    d_op_c = d_op.astype(cd)
     de_ref[:] = jnp.dot(d_op_c, we_ref[:].T,
                         preferred_element_type=jnp.float32
                         ).astype(de_ref.dtype)
-    dws_ref[:] += jnp.dot(x_g.T, d_op_c,
-                          preferred_element_type=jnp.float32)
     dwe_ref[:] += jnp.dot(e_ref[:].T, d_op_c,
                           preferred_element_type=jnp.float32)
 
@@ -1267,10 +1334,25 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     # (skipping empty parts' one-hot + dot) was ~2% slower, and gating the
     # forward gather with lax.cond 12% slower — one wide one-hot MXU dot
     # beats any per-part split despite ~32% of part-dots being empty.
-    dxw = jnp.dot(eq_s.T, d_xg.astype(x_g.dtype),
-                  preferred_element_type=jnp.float32)          # [W, d_in]
-    for j, dxp in enumerate(dx_parts):
-        dxp[:] += dxw[j * node_block:(j + 1) * node_block]
+    if sender_dx:
+        # sender-space landing: d_ys[w] = Σ_{e: slot w} d_op[e] at message
+        # width H; d_x = d_ys_node @ W_sᵀ and dW_s = xᵀ @ d_ys_node become
+        # node-wide XLA matmuls outside the kernel — removes the d_xg
+        # projection, the in-kernel dW_s, and (with the m stream) every use
+        # of x_g from the backward
+        dys = jnp.dot(eq_s.T, d_op_c,
+                      preferred_element_type=jnp.float32)      # [W, H]
+        for j, dxp in enumerate(dx_parts):
+            dxp[:] += dys[j * node_block:(j + 1) * node_block]
+    else:
+        d_xg = jnp.dot(d_op_c, ws_ref[:].T,
+                       preferred_element_type=jnp.float32)     # [TE, d_in]
+        dws_ref[:] += jnp.dot(x_g.T, d_op_c,
+                              preferred_element_type=jnp.float32)
+        dxw = jnp.dot(eq_s.T, d_xg.astype(cd),
+                      preferred_element_type=jnp.float32)      # [W, d_in]
+        for j, dxp in enumerate(dx_parts):
+            dxp[:] += dxw[j * node_block:(j + 1) * node_block]
 
 
 def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
@@ -1300,59 +1382,80 @@ def _v3_common_specs(d_in, h, de, t, edge_tile, node_block, window_blocks,
 def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, num_nodes, node_block,
                        edge_tile, window_blocks, interpret,
-                       roll_limit=None, save_xg=False):
+                       roll_limit=None, save_xg=False, save_m=False,
+                       eq_m=None, bf16_landing=False):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
     e_pad = e_t.shape[0]
     t = e_pad // edge_tile
+    w_width = window_blocks * node_block
     nb_pad = -(-num_nodes // node_block) * node_block
     nblocks_pad = nb_pad // node_block
     xp = jnp.pad(x_c, ((0, nb_pad - n_pad_in), (0, 0)))
 
-    out_specs = pl.BlockSpec((node_block, h),
-                             lambda i, tb, tw: (tb[i], 0),
-                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((nb_pad, h), jnp.float32)
+    in_specs = _v3_common_specs(d_in, h, de, t, edge_tile, node_block,
+                                window_blocks, nblocks_pad)
+    inputs = [tile_blocks, tile_win, *([xp] * window_blocks), w_s, e_t, w_e,
+              padded_recv.astype(jnp.int32).reshape(t, edge_tile),
+              senders_local.astype(jnp.int32).reshape(t, edge_tile)]
+    if eq_m is not None:
+        in_specs.append(pl.BlockSpec((edge_tile, w_width),
+                                     lambda i, tb, tw: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(eq_m)
+    out_specs = [pl.BlockSpec((node_block, h),
+                              lambda i, tb, tw: (tb[i], 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((nb_pad, h), jnp.float32)]
     if save_xg:
-        out_specs = (out_specs,
-                     pl.BlockSpec((edge_tile, d_in),
-                                  lambda i, tb, tw: (i, 0),
-                                  memory_space=pltpu.VMEM))
-        out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((e_pad, d_in), x_c.dtype))
+        out_specs.append(pl.BlockSpec((edge_tile, d_in),
+                                      lambda i, tb, tw: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((e_pad, d_in), x_c.dtype))
+    if save_m:
+        # always bf16: the stream IS the bf16 rounding the backward's
+        # routing equality compares against (also in interpret mode)
+        out_specs.append(pl.BlockSpec((edge_tile, h),
+                                      lambda i, tb, tw: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((e_pad, h), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
-        in_specs=_v3_common_specs(d_in, h, de, t, edge_tile, node_block,
-                                  window_blocks, nblocks_pad),
-        out_specs=out_specs,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
     )
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel_v3, node_block=node_block,
                           edge_tile=edge_tile, window_blocks=window_blocks,
                           roll_limit=roll_limit or edge_tile,
-                          save_xg=save_xg),
-        out_shape=out_shape,
+                          save_xg=save_xg, save_m=save_m,
+                          precomp_eq=eq_m is not None,
+                          bf16_landing=bf16_landing),
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_blocks, tile_win, *([xp] * window_blocks), w_s, e_t, w_e,
-      padded_recv.astype(jnp.int32).reshape(t, edge_tile),
-      senders_local.astype(jnp.int32).reshape(t, edge_tile))
-    if save_xg:
-        return out[0][:num_nodes], out[1]
-    return out[:num_nodes]
+    )(*inputs)
+    if len(out_shape) == 1:
+        return (out[:num_nodes],)
+    return (out[0][:num_nodes],) + tuple(out[1:])
 
 
-def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
-                       tile_blocks, tile_win, inner, g, num_nodes,
-                       node_block, edge_tile, window_blocks, interpret,
-                       bf16_cmp=False):
-    d_in = xg_stream.shape[1]
+def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
+                       senders_local, tile_blocks, tile_win, inner, g,
+                       num_nodes, node_block, edge_tile, window_blocks,
+                       interpret, bf16_cmp=False, use_m_stream=False,
+                       sender_dx=False, eq_m=None):
+    """`data_stream` is the forward's xg stream (default) or its bf16 m
+    stream (`use_m_stream`). With `sender_dx` the per-part outputs hold the
+    H-wide sender-space sums d_ys and there is no in-kernel dW_s."""
+    d_in = w_s.shape[0]
     h = w_s.shape[1]
     de = e_t.shape[1]
     e_pad = e_t.shape[0]
     t = e_pad // edge_tile
+    w_width = window_blocks * node_block
     nb_pad = -(-num_nodes // node_block) * node_block
     nblocks_pad = nb_pad // node_block
     inner_p = jnp.pad(inner, ((0, nb_pad - num_nodes), (0, 0)))
@@ -1362,8 +1465,9 @@ def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
         inner_p = inner_p.astype(jnp.bfloat16)
     g_p = jnp.pad(g, ((0, nb_pad - num_nodes), (0, 0)))
 
+    stream_w = h if use_m_stream else d_in
     in_specs = [
-        pl.BlockSpec((edge_tile, d_in), lambda i, tb, tw: (i, 0),
+        pl.BlockSpec((edge_tile, stream_w), lambda i, tb, tw: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((d_in, h), lambda i, tb, tw: (0, 0),
                      memory_space=pltpu.VMEM),
@@ -1380,42 +1484,57 @@ def _fused_bwd_call_v3(xg_stream, w_s, e_t, w_e, padded_recv, senders_local,
         pl.BlockSpec((node_block, h), lambda i, tb, tw: (tb[i], 0),
                      memory_space=pltpu.VMEM),
     ]
+    inputs = [tile_blocks, tile_win, data_stream, w_s, e_t, w_e,
+              padded_recv.astype(jnp.int32).reshape(t, edge_tile),
+              senders_local.astype(jnp.int32).reshape(t, edge_tile),
+              inner_p, g_p]
+    if eq_m is not None:
+        in_specs.append(pl.BlockSpec((edge_tile, w_width),
+                                     lambda i, tb, tw: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(eq_m)
 
     def part_map(j):
         return lambda i, tb, tw: (jnp.minimum(tw[i] + j, nblocks_pad - 1), 0)
 
-    out_specs = (
+    part_w = h if sender_dx else d_in
+    out_specs = [
         pl.BlockSpec((edge_tile, de), lambda i, tb, tw: (i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((d_in, h), lambda i, tb, tw: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((de, h), lambda i, tb, tw: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ) + tuple(pl.BlockSpec((node_block, d_in), part_map(j),
-                           memory_space=pltpu.VMEM)
-              for j in range(window_blocks))
+                     memory_space=pltpu.VMEM)]
+    out_shape = [
+        # d_e in e_t's own dtype (bf16 when the model pre-casts) — the
+        # cotangent dtype must match the primal's
+        jax.ShapeDtypeStruct((e_pad, de), e_t.dtype)]
+    if not sender_dx:
+        out_specs.append(pl.BlockSpec((d_in, h), lambda i, tb, tw: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((d_in, h), jnp.float32))
+    out_specs.append(pl.BlockSpec((de, h), lambda i, tb, tw: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((de, h), jnp.float32))
+    out_specs += [pl.BlockSpec((node_block, part_w), part_map(j),
+                               memory_space=pltpu.VMEM)
+                  for j in range(window_blocks)]
+    out_shape += [jax.ShapeDtypeStruct((nb_pad, part_w), jnp.float32)
+                  for _ in range(window_blocks)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2, grid=(t,), in_specs=in_specs,
-        out_specs=out_specs)
+        out_specs=tuple(out_specs))
     outs = pl.pallas_call(
         functools.partial(_fused_bwd_kernel_v3, node_block=node_block,
                           edge_tile=edge_tile, window_blocks=window_blocks,
-                          bf16_cmp=bf16_cmp),
-        out_shape=(
-            # d_e in e_t's own dtype (bf16 when the model pre-casts) — the
-            # cotangent dtype must match the primal's
-            jax.ShapeDtypeStruct((e_pad, de), e_t.dtype),
-            jax.ShapeDtypeStruct((d_in, h), jnp.float32),
-            jax.ShapeDtypeStruct((de, h), jnp.float32),
-        ) + tuple(jax.ShapeDtypeStruct((nb_pad, d_in), jnp.float32)
-                  for _ in range(window_blocks)),
+                          bf16_cmp=bf16_cmp, use_m_stream=use_m_stream,
+                          sender_dx=sender_dx, precomp_eq=eq_m is not None,
+                          grad_dtype=(jnp.float32 if interpret
+                                      else jnp.bfloat16)),
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(tile_blocks, tile_win, xg_stream, w_s, e_t, w_e,
-      padded_recv.astype(jnp.int32).reshape(t, edge_tile),
-      senders_local.astype(jnp.int32).reshape(t, edge_tile),
-      inner_p, g_p)
+    )(*inputs)
+    if sender_dx:
+        d_e, d_we = outs[:2]
+        return d_e, None, d_we, outs[2:]
     d_e, d_ws, d_we = outs[:3]
     return d_e, d_ws, d_we, outs[3:]
 
@@ -1425,7 +1544,11 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     window_blocks: int = 4,
                                     interpret: Optional[bool] = None,
                                     roll_passes: Optional[int] = None,
-                                    bf16_max: bool = False):
+                                    bf16_max: bool = False,
+                                    precomp_eq: bool = False,
+                                    stream_m: bool = False,
+                                    sender_dx: bool = False,
+                                    bf16_landing: bool = False):
     """Windowed fused max-aggregation (see module section comment).
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
@@ -1443,20 +1566,50 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
     bf16_max (backward-only): the backward's inner-gather matmul — the
     largest f32 matmul of the MXU-bound backward kernel — rides the bf16
     MXU by gathering bf16(inner), and gradient routing becomes exact bf16
-    equality (inner is the argmax operand, so the argmax always matches;
-    edges whose message rounds to the same bf16 share the gradient — a
-    valid subgradient, f32 tie semantics broadened to bf16 resolution).
-    The forward max and outputs stay exact f32.
+    equality (inner is the argmax operand, so the argmax always matches).
+    CAVEAT: every edge whose message rounds to the same bf16 receives the
+    FULL cotangent (k ties ⇒ k·g — not a valid subgradient on bf16 ties),
+    which is why it is an opt-in. The forward max and outputs stay exact
+    f32 unless bf16_landing is also set.
+
+    Profile-guided variants (r3; all default off, composable):
+      precomp_eq — the [TE, W] window one-hot is layer-independent; build
+        it ONCE per step in XLA (CSE'd across layers/directions) and stream
+        it into the kernels instead of re-building it on the VPU critical
+        path of every layer fwd+bwd.
+      stream_m (requires bf16_max + sender_dx) — forward streams bf16(m);
+        backward skips the operand-recompute matmuls and never touches x_g.
+      sender_dx — backward lands sender-space sums d_ys = eq_sᵀ@d_op
+        (width H); d_x = d_ys@W_sᵀ and dW_s = xᵀ@d_ys become node-wide XLA
+        matmuls, removing the d_xg projection and in-kernel dW_s.
+      bf16_landing (requires bf16_max) — forward lands the maxima in bf16
+        (output maxima bf16-rounded; re-test of the "v1" trade now that
+        spread tiling shrank the roll loop).
     """
     if interpret is None:
         interpret = _interpret_default()
     gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
+    if stream_m and not (bf16_max and sender_dx):
+        raise ValueError("stream_m requires bf16_max and sender_dx (the "
+                         "streamed bf16 operand only supports bf16 routing "
+                         "and provides no x_g for the in-kernel dW_s)")
+    if bf16_landing and not bf16_max:
+        raise ValueError("bf16_landing requires bf16_max routing")
     nb_pad = -(-num_nodes // node_block) * node_block
+    w_width = window_blocks * node_block
     # 2**roll_passes bounds the longest same-receiver run inside a tile
     # (host metadata, see graph.batch.roll_passes_bound); 0 passes (spread
     # run_cap=1 tiling) removes the roll loop entirely
     roll_limit = (min(edge_tile, 1 << roll_passes)
                   if roll_passes is not None else None)
+
+    def _eq_m(senders_local):
+        if not precomp_eq:
+            return None
+        # layer-independent [E_pad, W] one-hot, built once per step in XLA
+        # (identical across layers/directions → CSE'd to one materialization)
+        cols = jnp.arange(w_width, dtype=jnp.int32)
+        return (senders_local[:, None] == cols[None, :]).astype(gather_dtype)
 
     def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
         cd = gather_dtype
@@ -1471,15 +1624,20 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         return jnp.where(ovf_mask[:, None], op, _NEG)
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
-                 tile_win, senders_local, ovf_s, ovf_r, save_xg=False):
+                 tile_win, senders_local, ovf_s, ovf_r, for_vjp=False):
         x_c = x.astype(gather_dtype)
+        save_xg = for_vjp and not stream_m
+        save_m = for_vjp and stream_m
+        eq_m = _eq_m(senders_local)
         res = _fused_fwd_call_v3(
             x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
             node_block, edge_tile, window_blocks, interpret,
-            roll_limit=roll_limit, save_xg=save_xg)
-        inner_win, xg_stream = res if save_xg else (res, None)
+            roll_limit=roll_limit, save_xg=save_xg, save_m=save_m,
+            eq_m=eq_m, bf16_landing=bf16_landing)
+        inner_win = res[0]
+        stream = res[1] if for_vjp else None
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
@@ -1489,7 +1647,7 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         inner = jnp.maximum(inner_win, inner_o)
         has = inner > _NEG / 2
         out = jnp.where(has, offset + inner, 0.0)
-        return out, inner, has, xg_stream
+        return out, inner, has, stream
 
     @jax.custom_vjp
     def fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
@@ -1501,31 +1659,42 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
 
     def fwd(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
             tile_win, senders_local, part_mask, ovf_s, ovf_r):
-        out, inner, has, xg_stream = _forward(
+        out, inner, has, stream = _forward(
             x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
-            senders_local, ovf_s, ovf_r, save_xg=True)
+            senders_local, ovf_s, ovf_r, for_vjp=True)
         return out, (x, w_s, e_t, w_e, e_ovf, recv_t, tile_blocks, tile_win,
                      senders_local, part_mask, ovf_s, ovf_r, inner, has,
-                     xg_stream)
+                     stream)
 
     def bwd(res, g):
         (x, w_s, e_t, w_e, e_ovf, recv_t, tile_blocks, tile_win,
          senders_local, part_mask, ovf_s, ovf_r, inner, has,
-         xg_stream) = res
+         stream) = res
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
         d_e_t, d_ws, d_we, parts = _fused_bwd_call_v3(
-            xg_stream, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
+            stream, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype),
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
             num_nodes, node_block, edge_tile, window_blocks, interpret,
-            bf16_cmp=bf16_max)
+            bf16_cmp=bf16_max, use_m_stream=stream_m, sender_dx=sender_dx,
+            eq_m=_eq_m(senders_local))
         d_e_t = d_e_t.astype(e_t.dtype)   # cotangent dtype = primal dtype
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
-        d_x = jnp.zeros((nb_pad, x.shape[1]), jnp.float32)
+        part_w = parts[0].shape[1]
+        acc = jnp.zeros((nb_pad, part_w), jnp.float32)
         for j, p in enumerate(parts):
-            d_x = d_x + jnp.where(row_masks[j][:, None], p, 0.0)
-        d_x = d_x[:x.shape[0]]
+            acc = acc + jnp.where(row_masks[j][:, None], p, 0.0)
+        if sender_dx:
+            # acc holds the sender-space sums d_ys_node [nb_pad, H]; d_x and
+            # dW_s are node-wide matmuls (≈1000× fewer MACs than edge-wide)
+            d_ys = acc[:x.shape[0]]
+            d_x = jnp.dot(d_ys, w_s.T.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+            d_ws = jnp.dot(x.astype(jnp.float32).T, d_ys,
+                           preferred_element_type=jnp.float32)
+        else:
+            d_x = acc[:x.shape[0]]
 
         # overflow backward (small, XLA)
         ovf_mask = ovf_r >= 0

@@ -114,9 +114,18 @@ def build_halo_windowed_plan(senders: np.ndarray, receivers: np.ndarray,
     for p in range(p_n):
         ls, lr = hp.loc_senders[p], hp.loc_receivers[p]
         mask = lr >= 0
-        prep = prepare_windowed_csr_tiles(
-            np.maximum(ls, 0), np.maximum(lr, 0), mask, n_aug, node_block,
-            edge_tile, window_blocks, None, win_budget, run_cap=run_cap)
+        try:
+            prep = prepare_windowed_csr_tiles(
+                np.maximum(ls, 0), np.maximum(lr, 0), mask, n_aug,
+                node_block, edge_tile, window_blocks, None, win_budget,
+                run_cap=run_cap)
+        except ValueError as e:
+            raise ValueError(
+                f"shard {p}/{p_n}: {e}. The halo window-overflow budget is "
+                f"{win_budget} edges (= halo_overflow_fraction={ovf_frac} of "
+                f"the {el}-edge local budget, tile-rounded); raise "
+                f"halo_overflow_fraction in the MODEL_ARCHITECTURE config "
+                f"(or widen window_blocks) and retry") from e
         tmax = max(tmax, len(prep[1]))
         if run_cap is None and mask.any():
             deg = int(np.bincount(lr[mask], minlength=ns).max())

@@ -230,8 +230,11 @@ def test_native_detection_eval_perfect_predictions(tmp_path):
     assert out["tp_errors"]["scale_err"] == pytest.approx(0.9)
     # orient: traffic_cone excluded (NaN) -> mean over 9 classes
     assert out["tp_errors"]["orient_err"] == pytest.approx(8 / 9)
-    # vel/attr: traffic_cone + barrier excluded -> mean over 8
-    assert out["tp_errors"]["vel_err"] == pytest.approx(7 / 8)
+    # vel/attr: traffic_cone + barrier excluded -> mean over 8. Every
+    # instance in this fixture is a single annotation (prev/next empty), so
+    # its devkit finite-difference GT velocity is NaN -> all vel_errs NaN ->
+    # cummean returns ones (devkit) -> car vel_err 1.0 like absent classes.
+    assert out["tp_errors"]["vel_err"] == pytest.approx(1.0)
     assert out["tp_errors"]["attr_err"] == pytest.approx(7 / 8)
     tp_scores = sum(max(1.0 - out["tp_errors"][n], 0.0) for n in
                     ("trans_err", "scale_err", "orient_err", "vel_err",
@@ -476,3 +479,146 @@ def test_tp_error_cumulative_mean_over_recall_oracle():
     assert _calc_tp(md, "scale_err") == pytest.approx(0.0)
     # precision is 1.0 at every achieved recall -> AP 1.0
     assert _calc_ap(md.precision) == pytest.approx(1.0)
+
+def _make_moving_instance_root(tmp_path, dts=(0.5, 0.5), speed=4.0):
+    """Minimal table set: one scene, len(dts)+1 samples, ONE car instance
+    moving along +x at `speed` m/s with chained prev/next annotations, plus
+    a single-annotation pedestrian in the first sample."""
+    root = str(tmp_path / "nusc_moving")
+    version = "v1.0-mini"
+    table_dir = os.path.join(root, version)
+    os.makedirs(table_dir)
+    n = len(dts) + 1
+    times = np.concatenate([[1.0], 1.0 + np.cumsum(dts)])
+    tables = {t: [] for t in ("scene", "sample", "sample_data",
+                              "sample_annotation", "ego_pose",
+                              "calibrated_sensor", "category", "instance",
+                              "attribute", "sensor")}
+    tables["category"] = [{"token": "cat_car", "name": "vehicle.car"},
+                          {"token": "cat_ped",
+                           "name": "human.pedestrian.adult"}]
+    tables["attribute"] = [{"token": "attr_mv", "name": "vehicle.moving"}]
+    tables["instance"] = [{"token": "inst_car", "category_token": "cat_car"},
+                          {"token": "inst_ped", "category_token": "cat_ped"}]
+    toks = [f"s{i}" for i in range(n)]
+    ann_toks = [f"a{i}" for i in range(n)]
+    for i, tok in enumerate(toks):
+        ts = int(times[i] * 1e6)
+        tables["ego_pose"].append({"token": f"p{i}", "timestamp": ts,
+                                   "translation": [0.0, 0.0, 0.0],
+                                   "rotation": _identity_quat()})
+        tables["sample_data"].append({
+            "token": f"sd{i}", "sample_token": tok, "ego_pose_token": f"p{i}",
+            "calibrated_sensor_token": "", "timestamp": ts,
+            "filename": "", "is_key_frame": True, "prev": "", "next": ""})
+        anns = [ann_toks[i]]
+        tables["sample_annotation"].append({
+            "token": ann_toks[i], "sample_token": tok,
+            "instance_token": "inst_car",
+            "translation": [10.0 + speed * (times[i] - times[0]), 5.0, 0.8],
+            "size": [1.8, 4.2, 1.6], "rotation": _identity_quat(),
+            "num_lidar_pts": 5, "num_radar_pts": 3,
+            "attribute_tokens": ["attr_mv"],
+            "prev": ann_toks[i - 1] if i else "",
+            "next": ann_toks[i + 1] if i + 1 < n else ""})
+        if i == 0:
+            anns.append("a_ped")
+            tables["sample_annotation"].append({
+                "token": "a_ped", "sample_token": tok,
+                "instance_token": "inst_ped",
+                "translation": [3.0, -2.0, 0.9],
+                "size": [0.6, 0.6, 1.7], "rotation": _identity_quat(),
+                "num_lidar_pts": 2, "num_radar_pts": 1,
+                "attribute_tokens": [], "prev": "", "next": ""})
+        tables["sample"].append({
+            "token": tok, "timestamp": ts, "scene_token": "sc0",
+            "data": {"LIDAR_TOP": f"sd{i}"}, "anns": anns,
+            "prev": toks[i - 1] if i else "",
+            "next": toks[i + 1] if i + 1 < n else ""})
+    tables["scene"].append({"token": "sc0", "name": "scene-0001",
+                            "nbr_samples": n, "first_sample_token": toks[0],
+                            "last_sample_token": toks[-1]})
+    for name, rows in tables.items():
+        with open(os.path.join(table_dir, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+    return root, toks, ann_toks
+
+
+def test_box_velocity_devkit_oracle(tmp_path):
+    """VERDICT r2 item 2: devkit `NuScenes.box_velocity` semantics — hand
+    oracle on a moving instance: centered difference over (prev, next),
+    one-sided at the track ends, NaN for single annotations and for time
+    gaps beyond the max-time-diff rule."""
+    from radargnn_tpu.data.nuscenes.db import NuScenes
+
+    root, toks, ann_toks = _make_moving_instance_root(tmp_path)
+    nusc = NuScenes("v1.0-mini", root)
+
+    # interior annotation: centered difference (0.5 + 0.5 s span)
+    np.testing.assert_allclose(nusc.box_velocity(ann_toks[1]),
+                               [4.0, 0.0, 0.0], atol=1e-9)
+    # track ends: one-sided differences
+    np.testing.assert_allclose(nusc.box_velocity(ann_toks[0]),
+                               [4.0, 0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(nusc.box_velocity(ann_toks[2]),
+                               [4.0, 0.0, 0.0], atol=1e-9)
+    # single annotation: undefined
+    assert np.isnan(nusc.box_velocity("a_ped")).all()
+
+    # time-gap rule: one-sided gap 2.0 s > 1.5 s -> NaN at the ends, but
+    # the centered middle spans 4.0 s <= 2*1.5+... no: 4.0 > 3.0 -> NaN too
+    root2, _, ann2 = _make_moving_instance_root(
+        tmp_path / "g", dts=(2.0, 2.0))
+    nusc2 = NuScenes("v1.0-mini", root2)
+    assert np.isnan(nusc2.box_velocity(ann2[0])).all()
+    assert np.isnan(nusc2.box_velocity(ann2[1])).all()
+    # centered spanning 2.8 s <= 3.0 stays defined while one-sided 1.4 > 1.5
+    # does not... (1.4 < 1.5 -> ends defined as well); use 1.4 s gaps
+    root3, _, ann3 = _make_moving_instance_root(
+        tmp_path / "h", dts=(1.4, 1.4))
+    nusc3 = NuScenes("v1.0-mini", root3)
+    np.testing.assert_allclose(nusc3.box_velocity(ann3[1]),
+                               [4.0, 0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(nusc3.box_velocity(ann3[0]),
+                               [4.0, 0.0, 0.0], atol=1e-9)
+
+
+def test_gt_velocity_reaches_ave(tmp_path):
+    """ground_truth_from_db carries real finite-difference GT velocities and
+    AVE reflects them: a perfect-position prediction with velocity (0, 0)
+    against the 4 m/s car scores vel_err = 4 -> mean vel_err over the eight
+    velocity-scored classes (traffic_cone/barrier are devkit-excluded) =
+    (7·1.0 + 4.0)/8."""
+    from radargnn_tpu.data.nuscenes.db import NuScenes
+    from radargnn_tpu.data.nuscenes.detection_eval import (
+        NuScenesDetectionEval, ground_truth_from_db,
+    )
+
+    root, toks, _ = _make_moving_instance_root(tmp_path)
+    nusc = NuScenes("v1.0-mini", root)
+    gt, ego = ground_truth_from_db(nusc, toks)
+
+    for tok in toks:
+        car = [b for b in gt[tok] if b["detection_name"] == "car"]
+        assert len(car) == 1
+        np.testing.assert_allclose(car[0]["velocity"], [4.0, 0.0], atol=1e-9)
+    ped = [b for b in gt[toks[0]] if b["detection_name"] == "pedestrian"]
+    assert len(ped) == 1 and np.isnan(ped[0]["velocity"]).all()
+
+    results = {}
+    for i, tok in enumerate(toks):
+        preds = []
+        for b in gt[tok]:
+            if b["detection_name"] != "car":
+                continue
+            preds.append({
+                "sample_token": tok, "translation": list(b["translation"]),
+                "size": list(b["size"]), "rotation": list(b["rotation"]),
+                "velocity": [0.0, 0.0], "detection_name": "car",
+                "detection_score": 0.9 - 0.1 * i,
+                "attribute_name": b["attribute_name"]})
+        results[tok] = preds
+    ev = NuScenesDetectionEval({"results": results}, gt, ego)
+    out = ev.evaluate()
+    np.testing.assert_allclose(out["tp_errors"]["vel_err"],
+                               (7 * 1.0 + 4.0) / 8, atol=1e-6)

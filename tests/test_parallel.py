@@ -195,12 +195,14 @@ def test_halo_reduce_expresses_mpnn_aggregation():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_halo_windowed_matches_dense():
+@pytest.mark.parametrize("run_cap", [None, 2])
+def test_halo_windowed_matches_dense(run_cap):
     """Halo partitioning composed with the windowed Pallas kernels
     (parallel/halo_windowed.py): per-shard local edges run through the
     fused v3 tiles, halo + window-overflow edges through its XLA overflow
     list, boundary features via one all_to_all. Forward AND gradients must
-    match the dense single-device hoisted formulation."""
+    match the dense single-device hoisted formulation. run_cap=2 covers
+    spread tiling (and its leftover-overflow route) on the sharded path."""
     import jax
     import jax.numpy as jnp
 
@@ -225,8 +227,10 @@ def test_halo_windowed_matches_dense():
     plan = build_halo_windowed_plan(senders, receivers, n, shards,
                                     node_block=8, edge_tile=16,
                                     window_blocks=2, edge_mask=mask,
-                                    ovf_frac=0.6)
+                                    ovf_frac=0.6, run_cap=run_cap)
     assert (plan.halo.halo_senders >= 0).sum() > 20, "need halo traffic"
+    if run_cap is not None:
+        assert plan.roll_passes == (run_cap - 1).bit_length()
     mesh = make_mesh({"model": shards})
 
     def f_sharded(x_, w_s_, e_, w_e_, off_):
