@@ -24,6 +24,12 @@ def main():
     import numpy as np
     import jax
 
+    # smoke-test hook: RADARGNN_PLATFORM=cpu forces host CPU (the axon TPU
+    # plugin ignores JAX_PLATFORMS, so it must be set via jax.config)
+    plat = _os.environ.get("RADARGNN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     # persistent compilation cache (same setup as bench.py). Note: the axon
     # remote-compile tunnel does not hit this cache across processes — for
     # long trainings prefer ONE process over many resume chunks; the cache
@@ -54,6 +60,23 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--points", type=int, default=800)
+    parser.add_argument("--bb-invariance", type=str, default="translation",
+                        choices=["none", "translation", "en"],
+                        help="bounding-box invariance mode, end-to-end: GT "
+                             "encoding -> training -> decode (the 'en' "
+                             "decode runs the 1-NN recompute at inference, "
+                             "reference postprocessing.py:233-237)")
+    parser.add_argument("--imbalanced", action="store_true",
+                        help="RadarScenes-faithful class profile (~96%% "
+                             "background, car-dominated objects) instead "
+                             "of the mild near-balanced default")
+    parser.add_argument("--protocol", type=str, default="reference",
+                        choices=["reference", "soft"],
+                        help="eval protocol: 'reference' = the exact "
+                             "headline protocol (point-IoU mAP@0.3, per-"
+                             "class min score 0.5, bg cap 0.2, NMS IoU "
+                             "0.01 — configuration_radarscenes.yml:64-80); "
+                             "'soft' = the older lenient thresholds")
     parser.add_argument("--epochs", type=int, default=15)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--dtype", type=str, default="bfloat16")
@@ -82,7 +105,8 @@ def main():
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
-                           seed=0)
+                           seed=0, bb_invariance=args.bb_invariance,
+                           imbalanced=args.imbalanced)
     n_val = max(args.frames // 5, 2)
     train_s, val_s = samples[:-n_val], samples[-n_val:]
 
@@ -106,12 +130,15 @@ def main():
         edge_feature_embedding_layer_dimensions=edge_emb,
         batch_norm_in_mlps=False, compute_dtype=args.dtype,
         assume_sorted_edges=True, use_fused_aggregation=args.fused)
+    # adapt_orientation_angle: sin-encode θ to [-1,1]; the reference
+    # enables it for rotated-box modes (none/translation/en all carry θ)
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=2e-3, epochs=args.epochs,
         batch_size=args.batch_size, shuffle=True, bg_index=5,
         deterministic=True, seed=123, exponential_lr_decay_factor=0.95,
         bb_loss_weight=0.5, regularization_strength=5e-6,
-        adapt_orientation_angle=True, scan_steps_per_dispatch=4)
+        adapt_orientation_angle=True, scan_steps_per_dispatch=4,
+        set_weights_according_radar_scenes_distribution=args.imbalanced)
 
     key = set_seeds(tcfg.seed)
     csr_tiling = None
@@ -151,13 +178,21 @@ def main():
     if args.no_eval:
         return
 
+    if args.protocol == "reference":
+        # the EXACT protocol behind the reference's headline numbers
+        # (configuration_radarscenes.yml:64-80): point-IoU mAP@0.3, NMS IoU
+        # 0.01, per-class min object score 0.5, background-score cap 0.2
+        min_score, bg_cap = 0.5, 0.2
+    else:
+        min_score, bg_cap = 0.4, 0.3
     config = PostProcessingConfiguration(
         split="validate", iou_for_nms=0.01,
-        min_object_score={"car": 0.4, "pedestrian": 0.4,
-                          "pedestrian_group": 0.4, "two_wheeler": 0.4,
-                          "large_vehicle": 0.4},
-        max_score_for_background=0.3, iou_for_mAP=0.3, use_point_iou=True,
-        bg_index=5, bb_invariance="translation",
+        min_object_score={"car": min_score, "pedestrian": min_score,
+                          "pedestrian_group": min_score,
+                          "two_wheeler": min_score,
+                          "large_vehicle": min_score},
+        max_score_for_background=bg_cap, iou_for_mAP=0.3, use_point_iou=True,
+        bg_index=5, bb_invariance=args.bb_invariance,
         adapt_orientation_angle=True)
 
     predictor = Predictor(

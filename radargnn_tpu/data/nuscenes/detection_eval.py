@@ -211,6 +211,17 @@ class NuScenesDetectionEval:
 
         preds.sort(key=lambda tb: -tb[1]["detection_score"])
         matched = {t: np.zeros(len(gt_f[t]), bool) for t in tokens}
+        # vectorized per-sample GT geometry (r2 verdict item 7): centers and
+        # class mask as arrays so the greedy loop's inner distance scan is
+        # one numpy expression instead of a per-GT Python loop
+        gt_centers = {
+            t: (np.asarray([b["translation"][:2] for b in gt_f[t]],
+                           float).reshape(len(gt_f[t]), 2))
+            for t in tokens}
+        gt_is_cls = {
+            t: np.asarray([b["detection_name"] == cls for b in gt_f[t]],
+                          bool)
+            for t in tokens}
 
         tp_flags = []
         all_conf = []                       # every prediction's score
@@ -218,14 +229,14 @@ class NuScenesDetectionEval:
         match_conf = []                     # score at each TP match
         for t, pred in preds:
             center = np.asarray(pred["translation"][:2], float)
-            best, best_d = -1, np.inf
-            for gi, gt in enumerate(gt_f[t]):
-                if matched[t][gi] or gt["detection_name"] != cls:
-                    continue
-                d = np.linalg.norm(
-                    center - np.asarray(gt["translation"][:2], float))
-                if d < best_d:
-                    best, best_d = gi, d
+            cand = gt_is_cls[t] & ~matched[t]
+            if cand.any():
+                d_all = np.linalg.norm(gt_centers[t] - center, axis=1)
+                d_all = np.where(cand, d_all, np.inf)
+                best = int(np.argmin(d_all))
+                best_d = float(d_all[best])
+            else:
+                best, best_d = -1, np.inf
             all_conf.append(pred["detection_score"])
             if best >= 0 and best_d <= dist_th:
                 matched[t][best] = True

@@ -47,6 +47,7 @@ _PRECOMP_EQ = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQ", "0") == "1"
 _STREAM_M = _os.environ.get("RADARGNN_FUSED_STREAM_M", "0") == "1"
 _SENDER_DX = _os.environ.get("RADARGNN_FUSED_SENDER_DX", "0") == "1"
 _BF16_LANDING = _os.environ.get("RADARGNN_FUSED_BF16_LANDING", "0") == "1"
+_PRECOMP_LAND = _os.environ.get("RADARGNN_FUSED_PRECOMP_LAND", "0") == "1"
 
 
 def fused_csr_tiling(model_config):
@@ -87,7 +88,8 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
             bf16_max=bf16_max, precomp_eq=_PRECOMP_EQ,
             stream_m=_STREAM_M and bf16_max,
             sender_dx=_SENDER_DX or (_STREAM_M and bf16_max),
-            bf16_landing=_BF16_LANDING and bf16_max)
+            bf16_landing=_BF16_LANDING and bf16_max,
+            precomp_land=_PRECOMP_LAND and _BF16_LANDING and bf16_max)
         return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
                      offset, ovf_e, tiling.receivers, tiling.blocks, t_win,
                      sloc, pmask, ovf_s, ovf_r)

@@ -1117,7 +1117,8 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
                          roll_limit: int, save_xg: bool,
                          save_m: bool = False, precomp_eq: bool = False,
-                         bf16_landing: bool = False):
+                         bf16_landing: bool = False,
+                         precomp_land: bool = False):
     i = window_blocks
     x_parts = refs[:i]
     ws_ref, e_ref, we_ref, recv_ref, sloc_ref = refs[i:i + 5]
@@ -1125,6 +1126,10 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     eqs_ref = None
     if precomp_eq:
         eqs_ref = refs[i]
+        i += 1
+    eql_ref = None
+    if precomp_land:
+        eql_ref = refs[i]
         i += 1
     o_ref = refs[i]
     i += 1
@@ -1181,28 +1186,37 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
             r = jnp.where(match, jnp.maximum(r, r_roll), r)
             shift *= 2
 
-    nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
-    is_last = jnp.logical_or(local2d != nxt, col == edge_tile - 1)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
-    eqb = jnp.logical_and(
-        rows == jnp.broadcast_to(local2d, (node_block, edge_tile)),
-        jnp.broadcast_to(is_last, (node_block, edge_tile)))
-    if bf16_landing:
-        # bf16 landing: the one-hot selects single values, so landing in
-        # bf16 rounds the MAXIMA to bf16 (requires bf16_max backward
-        # routing) but halves the landing matmul. Measured NEUTRAL when the
-        # roll loop dominated the VPU (docs/RESULTS.md); re-tested under
-        # spread tiling where only 2 roll passes remain.
-        eq = eqb.astype(jnp.bfloat16)
-        sums = jnp.dot(eq, r.astype(jnp.bfloat16),
+    if precomp_land:
+        # layer-independent landing one-hot (is_last folded) streamed from
+        # HBM — built once per step in XLA from the recv table
+        eq = eql_ref[0]
+        sums = jnp.dot(eq, r.astype(eq.dtype),
                        preferred_element_type=jnp.float32)
-        # at most one slot per row is set (is_last) — 0/1 exact in bf16
         has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
     else:
-        eq = eqb.astype(jnp.float32)
-        sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
-        has = jnp.sum(eq, axis=1, keepdims=True)
+        nxt = pltpu.roll(local2d, edge_tile - 1, axis=1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, edge_tile), 1)
+        is_last = jnp.logical_or(local2d != nxt, col == edge_tile - 1)
+        rows = jax.lax.broadcasted_iota(jnp.int32,
+                                        (node_block, edge_tile), 0)
+        eqb = jnp.logical_and(
+            rows == jnp.broadcast_to(local2d, (node_block, edge_tile)),
+            jnp.broadcast_to(is_last, (node_block, edge_tile)))
+        if bf16_landing:
+            # bf16 landing: the one-hot selects single values, so landing
+            # in bf16 rounds the MAXIMA to bf16 (requires bf16_max backward
+            # routing) but halves the landing matmul. Measured NEUTRAL when
+            # the roll loop dominated the VPU (docs/RESULTS.md); re-tested
+            # under spread tiling where only 2 roll passes remain.
+            eq = eqb.astype(jnp.bfloat16)
+            sums = jnp.dot(eq, r.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            # at most one slot per row is set (is_last) — 0/1 exact
+            has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
+        else:
+            eq = eqb.astype(jnp.float32)
+            sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+            has = jnp.sum(eq, axis=1, keepdims=True)
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
 
@@ -1211,6 +1225,7 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          node_block: int, edge_tile: int, window_blocks: int,
                          bf16_cmp: bool = False, use_m_stream: bool = False,
                          sender_dx: bool = False, precomp_eq: bool = False,
+                         precomp_land: bool = False,
                          grad_dtype=jnp.bfloat16):
     wb = window_blocks
     i = 0
@@ -1227,6 +1242,10 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     eqs_ref = None
     if precomp_eq:
         eqs_ref = refs[i]
+        i += 1
+    eqt_ref = None
+    if precomp_land:
+        eqt_ref = refs[i]
         i += 1
     de_ref = refs[i]
     i += 1
@@ -1290,10 +1309,13 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         # argmax edge's operand, so bf16(op) == bf16(inner) at the argmax;
         # edges within bf16 rounding of the max share the gradient (a valid
         # subgradient; f32 tie semantics broadened to bf16 resolution).
-        ncols = jax.lax.broadcasted_iota(jnp.int32,
-                                         (edge_tile, node_block), 1)
-        eq_t_c = (ncols == jnp.transpose(local2d)).astype(cd)
-        inner_at_e = jnp.dot(eq_t_c, inner_ref[:].astype(cd),
+        if precomp_land:
+            eq_t_c = eqt_ref[0]          # layer-independent, streamed
+        else:
+            ncols = jax.lax.broadcasted_iota(jnp.int32,
+                                             (edge_tile, node_block), 1)
+            eq_t_c = (ncols == jnp.transpose(local2d)).astype(cd)
+        inner_at_e = jnp.dot(eq_t_c, inner_ref[:].astype(eq_t_c.dtype),
                              preferred_element_type=jnp.float32)
         has_recv = (jnp.transpose(local2d) >= 0).astype(jnp.float32)
         # Mosaic has no bf16 vector compare — round the operand to bf16 and
@@ -1319,7 +1341,7 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         has_recv = jnp.sum(eq, axis=0)[:, None]
         sel = (jnp.abs(operand - inner_at_e)
                <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
-    g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(cd),
+    g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(eq_t_c.dtype),
                      preferred_element_type=jnp.float32)
     d_op = sel * has_recv * g_at_e                             # [TE, H]
 
@@ -1383,7 +1405,7 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                        tile_blocks, tile_win, num_nodes, node_block,
                        edge_tile, window_blocks, interpret,
                        roll_limit=None, save_xg=False, save_m=False,
-                       eq_m=None, bf16_landing=False):
+                       eq_m=None, bf16_landing=False, eq_land=None):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -1404,6 +1426,11 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                                      lambda i, tb, tw: (i, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(eq_m)
+    if eq_land is not None:
+        in_specs.append(pl.BlockSpec((1, node_block, edge_tile),
+                                     lambda i, tb, tw: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(eq_land)
     out_specs = [pl.BlockSpec((node_block, h),
                               lambda i, tb, tw: (tb[i], 0),
                               memory_space=pltpu.VMEM)]
@@ -1432,7 +1459,8 @@ def _fused_fwd_call_v3(x_c, w_s, e_t, w_e, padded_recv, senders_local,
                           roll_limit=roll_limit or edge_tile,
                           save_xg=save_xg, save_m=save_m,
                           precomp_eq=eq_m is not None,
-                          bf16_landing=bf16_landing),
+                          bf16_landing=bf16_landing,
+                          precomp_land=eq_land is not None),
         out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1446,7 +1474,7 @@ def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
                        senders_local, tile_blocks, tile_win, inner, g,
                        num_nodes, node_block, edge_tile, window_blocks,
                        interpret, bf16_cmp=False, use_m_stream=False,
-                       sender_dx=False, eq_m=None):
+                       sender_dx=False, eq_m=None, eq_t=None):
     """`data_stream` is the forward's xg stream (default) or its bf16 m
     stream (`use_m_stream`). With `sender_dx` the per-part outputs hold the
     H-wide sender-space sums d_ys and there is no in-kernel dW_s."""
@@ -1493,6 +1521,11 @@ def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
                                      lambda i, tb, tw: (i, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(eq_m)
+    if eq_t is not None:
+        in_specs.append(pl.BlockSpec((1, edge_tile, node_block),
+                                     lambda i, tb, tw: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(eq_t)
 
     def part_map(j):
         return lambda i, tb, tw: (jnp.minimum(tw[i] + j, nblocks_pad - 1), 0)
@@ -1526,6 +1559,7 @@ def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
                           edge_tile=edge_tile, window_blocks=window_blocks,
                           bf16_cmp=bf16_cmp, use_m_stream=use_m_stream,
                           sender_dx=sender_dx, precomp_eq=eq_m is not None,
+                          precomp_land=eq_t is not None,
                           grad_dtype=(jnp.float32 if interpret
                                       else jnp.bfloat16)),
         out_shape=tuple(out_shape),
@@ -1548,7 +1582,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     precomp_eq: bool = False,
                                     stream_m: bool = False,
                                     sender_dx: bool = False,
-                                    bf16_landing: bool = False):
+                                    bf16_landing: bool = False,
+                                    precomp_land: bool = False):
     """Windowed fused max-aggregation (see module section comment).
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
@@ -1595,6 +1630,9 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                          "and provides no x_g for the in-kernel dW_s)")
     if bf16_landing and not bf16_max:
         raise ValueError("bf16_landing requires bf16_max routing")
+    if precomp_land and not (bf16_landing and bf16_max):
+        raise ValueError("precomp_land streams bf16 one-hots — requires "
+                         "bf16_landing (forward) and bf16_max (backward)")
     nb_pad = -(-num_nodes // node_block) * node_block
     w_width = window_blocks * node_block
     # 2**roll_passes bounds the longest same-receiver run inside a tile
@@ -1610,6 +1648,37 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         # (identical across layers/directions → CSE'd to one materialization)
         cols = jnp.arange(w_width, dtype=jnp.int32)
         return (senders_local[:, None] == cols[None, :]).astype(gather_dtype)
+
+    # always bf16 so interpret-mode semantics match the chip (the
+    # landing consumes r.astype(eq.dtype))
+    land_dtype = jnp.bfloat16
+
+    def _locals(recv_t, tile_blocks):
+        rt = recv_t.astype(jnp.int32).reshape(-1, edge_tile)
+        return rt - tile_blocks[:, None] * node_block     # [T, TE]
+
+    def _eq_land(recv_t, tile_blocks):
+        """Layer-independent forward landing one-hot [T, TN, TE] with the
+        is_last fold, built once per step in XLA (CSE'd across layers)."""
+        if not precomp_land:
+            return None
+        local = _locals(recv_t, tile_blocks)
+        nxt = jnp.concatenate(
+            [local[:, 1:], jnp.full((local.shape[0], 1), -2, jnp.int32)],
+            axis=1)
+        is_last = local != nxt
+        rows = jnp.arange(node_block, dtype=jnp.int32)
+        eq = (local[:, None, :] == rows[None, :, None]) \
+            & is_last[:, None, :]
+        return eq.astype(land_dtype)
+
+    def _eq_t(recv_t, tile_blocks):
+        """Layer-independent backward receiver one-hot [T, TE, TN]."""
+        if not precomp_land:
+            return None
+        local = _locals(recv_t, tile_blocks)
+        rows = jnp.arange(node_block, dtype=jnp.int32)
+        return (local[:, :, None] == rows[None, None, :]).astype(land_dtype)
 
     def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
         cd = gather_dtype
@@ -1635,7 +1704,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             recv_t, senders_local, tile_blocks, tile_win, num_nodes,
             node_block, edge_tile, window_blocks, interpret,
             roll_limit=roll_limit, save_xg=save_xg, save_m=save_m,
-            eq_m=eq_m, bf16_landing=bf16_landing)
+            eq_m=eq_m, bf16_landing=bf16_landing,
+            eq_land=_eq_land(recv_t, tile_blocks))
         inner_win = res[0]
         stream = res[1] if for_vjp else None
         ovf_mask = ovf_r >= 0
@@ -1678,7 +1748,7 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
             num_nodes, node_block, edge_tile, window_blocks, interpret,
             bf16_cmp=bf16_max, use_m_stream=stream_m, sender_dx=sender_dx,
-            eq_m=_eq_m(senders_local))
+            eq_m=_eq_m(senders_local), eq_t=_eq_t(recv_t, tile_blocks))
         d_e_t = d_e_t.astype(e_t.dtype)   # cotangent dtype = primal dtype
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
         part_w = parts[0].shape[1]

@@ -125,13 +125,27 @@ class MeanAveragePrecision:
             return []
         return sorted(np.unique(np.concatenate(labels)).tolist())
 
-    def _iou(self, idx: int, det: np.ndarray, gt: np.ndarray) -> np.ndarray:
+    def _iou_image(self, idx: int, iou_cache: dict) -> np.ndarray:
+        """Full detections×GT IoU matrix of one image, ALL classes at once.
+
+        IoU depends only on geometry, so one matrix per image serves every
+        (class, area-range, threshold) evaluation — one device round-trip
+        per frame instead of one per (image, class) (r2 verdict item 7).
+        Per-class evaluations slice it by row/column index.
+        """
+        if idx in iou_cache:
+            return iou_cache[idx]
+        det = self.detections[idx]
+        gt = self.groundtruths[idx]
         if det.shape[0] == 0 or gt.shape[0] == 0:
-            return np.zeros((det.shape[0], gt.shape[0]))
-        if self.use_point_iou:
-            return np.asarray(geometry_point_iou(
+            out = np.zeros((det.shape[0], gt.shape[0]))
+        elif self.use_point_iou:
+            out = np.asarray(geometry_point_iou(
                 det, gt, self.point_clouds[idx], self.is_aligned))
-        return _box_iou(det, gt, self.is_aligned)
+        else:
+            out = _box_iou(det, gt, self.is_aligned)
+        iou_cache[idx] = out
+        return out
 
     def _evaluate_image(self, idx: int, class_id: int, area_range,
                         iou_cache: dict):
@@ -147,10 +161,12 @@ class MeanAveragePrecision:
         scores = self.detection_scores[idx][det_mask]
         order = np.argsort(-scores, kind="stable")[:max_det]
         scores_sorted = scores[order]
-        det = self.detections[idx][det_mask][order] if nb_det else \
+        det_idx = np.flatnonzero(det_mask)[order]
+        gt_idx = np.flatnonzero(gt_mask)
+        det = self.detections[idx][det_idx] if nb_det else \
             np.zeros((0, self.detections[idx].shape[1] if
                       self.detections[idx].ndim == 2 else 4))
-        gt = self.groundtruths[idx][gt_mask] if nb_gt else np.zeros((0, 4))
+        gt = self.groundtruths[idx][gt_idx] if nb_gt else np.zeros((0, 4))
 
         # GT ignore flags: area outside range, ignored sorted LAST
         # (`_evaluate_image:661-668`)
@@ -166,21 +182,24 @@ class MeanAveragePrecision:
         gt_matches = np.zeros((T, nb_gt), bool)
 
         if nd and nb_gt:
-            key = (idx, class_id)
-            if key not in iou_cache:
-                iou_cache[key] = self._iou(idx, det, gt)
-            ious = iou_cache[key][:, gtind]
-            remove_base = gt_ignore[None, :]
-            for ti, t in enumerate(self.iou_thresholds):
-                for di in range(nd):
-                    # ignored GT are removed outright, matching the fork's
-                    # `_find_best_gt_match:740-747` (NOT pycocotools, which
-                    # lets ignored GT absorb leftover detections)
-                    cand = ious[di] * ~(gt_matches[ti] | remove_base[0])
-                    gi = int(np.argmax(cand)) if nb_gt else -1
-                    if nb_gt and cand[gi] > t:
-                        det_matches[ti, di] = True
-                        gt_matches[ti, gi] = True
+            full = self._iou_image(idx, iou_cache)
+            ious = full[np.ix_(det_idx, gt_idx)][:, gtind]
+            alive_base = ~gt_ignore[None, :]
+            thr = np.asarray(self.iou_thresholds)[:, None]
+            t_idx = np.arange(T)
+            # greedy matching, vectorized over ALL thresholds at once: a
+            # detection's candidate set depends only on the per-threshold
+            # matched-GT state, so one pass over detections updates every
+            # threshold row together (r2 verdict item 7)
+            for di in range(nd):
+                # ignored GT are removed outright, matching the fork's
+                # `_find_best_gt_match:740-747` (NOT pycocotools, which
+                # lets ignored GT absorb leftover detections)
+                cand = ious[di][None, :] * (~gt_matches & alive_base)
+                gi = np.argmax(cand, axis=1)                  # [T]
+                ok = cand[t_idx, gi] > thr[:, 0]
+                det_matches[:, di] = ok
+                gt_matches[t_idx[ok], gi[ok]] = True
 
         # unmatched detections outside the area range are ignored
         # (`_evaluate_image:703-710`)
@@ -255,8 +274,8 @@ class MeanAveragePrecision:
         precisions = np.full((T, nb_rec, len(classes), A, M), -1.0)
         recalls = np.full((T, len(classes), A, M), -1.0)
 
+        iou_cache: dict = {}        # per-IMAGE full matrices, all classes
         for ci, c in enumerate(classes):
-            iou_cache: dict = {}
             prec, rec = self._calculate_class(c, iou_cache)
             precisions[:, :, ci] = prec
             recalls[:, ci] = rec

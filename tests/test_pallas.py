@@ -1000,6 +1000,9 @@ def test_default_routing_is_valid_subgradient_on_bf16_tie():
     dict(bf16_max=True, bf16_landing=True),
     dict(bf16_max=True, sender_dx=True, stream_m=True, precomp_eq=True,
          bf16_landing=True),
+    dict(bf16_max=True, bf16_landing=True, precomp_land=True),
+    dict(bf16_max=True, sender_dx=True, stream_m=True, precomp_eq=True,
+         bf16_landing=True, precomp_land=True),
 ])
 def test_fused_v3_variants_match_reference(variant):
     """The r3 profile-guided kernel variants (precomp_eq / stream_m /
