@@ -20,6 +20,14 @@ typically sustains ~15% of 156 TFLOP/s TF32 on gather/scatter-bound edge
 MLPs → ≈ 23 TFLOP/s / 3.3 MFLOP ≈ 7e6 edges/s. `vs_baseline` is
 edges_per_s / 7e6 (target ≥ 5).
 
+The MFU-based statement that supersedes that derived anchor
+(docs/ROOFLINE.md): at 9.87M edges/s the chip executes ≈32.6 TFLOP/s of
+model FLOPs ≈ 16.5% model-MFU on a v5e; the measured MXU floor of this
+kernel family is ≈15M edges/s, and the fused kernels run 7.3× the unfused
+XLA formulation measured on the SAME chip — `vs_baseline` is kept only
+because the driver schema requires a single scalar against the derived
+cross-hardware proxy.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 BENCH_MODE=infer measures the serving path instead (jitted batched forward

@@ -247,7 +247,10 @@ class GNNArchitectureConfig:
     # + cross-tile max do the reduction on the MXU) — the measured VPU
     # bottleneck of the v3 forward. None keeps contiguous CSR runs with
     # log2(max in-degree) roll passes. Env RADARGNN_FUSED_RUN_CAP overrides.
-    fused_run_cap: Optional[int] = None
+    # Default 4 = the measured winner (docs/RESULTS.md: +1.4% net over
+    # contiguous runs at the flagship shape; pairs with the 0.05 overflow
+    # default). Set null for contiguous CSR runs.
+    fused_run_cap: Optional[int] = 4
     # Halo (multi-chip edge partitioning) window-overflow budget: fraction
     # of each shard's LOCAL edge budget reserved for edges whose sender
     # misses the Morton window. Per-shard partitions see a wider sender

@@ -272,10 +272,16 @@ def test_fused_csr_tiling_from_config():
     off = GNNArchitectureConfig(**base)
     assert fused_csr_tiling(off) is None
 
+    # fused_run_cap defaults to the measured winner (4) since r3
     win = GNNArchitectureConfig(**base, use_fused_aggregation=True,
                                 fused_overflow_fraction=0.03)
     assert fused_csr_tiling(win) == (FUSED_NODE_BLOCK, FUSED_EDGE_TILE,
-                                     FUSED_WINDOW_BLOCKS, 0.03)
+                                     FUSED_WINDOW_BLOCKS, 0.03, 4)
+    uncapped = GNNArchitectureConfig(**base, use_fused_aggregation=True,
+                                     fused_overflow_fraction=0.03,
+                                     fused_run_cap=None)
+    assert fused_csr_tiling(uncapped) == (
+        FUSED_NODE_BLOCK, FUSED_EDGE_TILE, FUSED_WINDOW_BLOCKS, 0.03)
 
     csr = GNNArchitectureConfig(**base, use_fused_aggregation=True,
                                 fused_tiling="csr")
