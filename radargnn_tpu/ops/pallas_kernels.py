@@ -156,6 +156,57 @@ def prepare_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
             padded_recv.astype(np.int32))
 
 
+def _spread_place_vectorized(run, rr, bounds, degs, t, edge_tile, run_cap,
+                             receivers):
+    """Vectorized spread placement for one node block, or None when the
+    round-robin layout would overflow a tile (caller falls back to the
+    sequential greedy packer). Semantics identical to the greedy path: every
+    tile holds at most `run_cap` edges per receiver as one contiguous run;
+    unplaceable chunks (receiver needs more than t distinct tiles) are
+    returned as leftover edge ids for the overflow path."""
+    n_ch = -(-degs // run_cap)                       # chunks per receiver
+    r_count = len(degs)
+    # rank receivers by descending chunk count (stable) so heavy receivers
+    # spread first — mirrors the greedy order and balances fill
+    rank = np.empty(r_count, np.int64)
+    rank[np.argsort(-n_ch, kind="stable")] = np.arange(r_count)
+    place_ch = np.minimum(n_ch, t)                   # placeable chunks
+    tot = int(place_ch.sum())
+    if tot == 0:
+        return None
+    rec = np.repeat(np.arange(r_count), place_ch)
+    j = np.arange(tot) - np.repeat(np.cumsum(place_ch) - place_ch, place_ch)
+    tile = (rank[rec] + j) % t
+    size = np.minimum(run_cap, degs[rec] - j * run_cap)
+    fill = np.bincount(tile, weights=size, minlength=t)
+    if fill.max() > edge_tile:
+        return None
+
+    # leftover: chunks j >= t of over-degree receivers
+    left = []
+    for ri in np.flatnonzero(n_ch > t):
+        a = bounds[ri] + t * run_cap
+        left.append(run[a:bounds[ri + 1]])
+
+    # order chunks by (tile, receiver) → receiver-contiguous runs per tile
+    order_c = np.lexsort((rr[bounds[rec]], tile))
+    starts_e = (bounds[rec] + j * run_cap)[order_c]
+    sizes_o = size[order_c].astype(np.int64)
+    csum = np.cumsum(sizes_o) - sizes_o
+    offs = np.repeat(starts_e, sizes_o)         + (np.arange(int(sizes_o.sum())) - np.repeat(csum, sizes_o))
+    ids_all = run[offs]
+    tile_of_edge = np.repeat(tile[order_c], sizes_o)  # non-decreasing
+    te_counts = np.bincount(tile_of_edge, minlength=t).astype(np.int64)
+    dst = np.repeat(np.arange(t) * edge_tile, te_counts)         + (np.arange(len(ids_all))
+           - np.repeat(np.cumsum(te_counts) - te_counts, te_counts))
+    out_ids = np.zeros(t * edge_tile, np.int64)
+    out_recv = np.full(t * edge_tile, -1, np.int64)
+    out_ids[dst] = ids_all
+    out_recv[dst] = receivers[ids_all]
+    return (list(out_ids.reshape(t, edge_tile)),
+            list(out_recv.reshape(t, edge_tile)), left)
+
+
 def prepare_spread_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
                              num_nodes: int, node_block: int, edge_tile: int,
                              run_cap: int,
@@ -207,6 +258,22 @@ def prepare_spread_csr_tiles(receivers: np.ndarray, edge_mask: np.ndarray,
         starts = np.flatnonzero(np.diff(rr, prepend=rr[0] - 1))
         bounds = np.append(starts, eb)
         degs = np.diff(bounds)
+
+        # fast path (r2 advisor item): fully vectorized round-robin chunk
+        # placement — receiver rank r's chunk j lands in tile (r+j) mod t,
+        # which guarantees distinct tiles per receiver whenever
+        # n_chunks <= t. Falls back to the greedy packer when a tile would
+        # overflow (rare: tiles have ~5% slack on kNN degree profiles).
+        placed = _spread_place_vectorized(run, rr, bounds, degs, t,
+                                          edge_tile, run_cap, receivers)
+        if placed is not None:
+            p_chunks, r_chunks, left = placed
+            perm_chunks.extend(p_chunks)
+            recv_chunks.extend(r_chunks)
+            tile_blocks.extend([blk] * t)
+            leftover.extend(left)
+            continue
+
         fill = np.zeros(t, np.int64)
         tiles: list = [[] for _ in range(t)]     # (receiver, edge-id chunk)
         # descending chunk-count first: high-degree receivers need the most

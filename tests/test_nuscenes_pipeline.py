@@ -622,3 +622,30 @@ def test_gt_velocity_reaches_ave(tmp_path):
     out = ev.evaluate()
     np.testing.assert_allclose(out["tp_errors"]["vel_err"],
                                (7 * 1.0 + 4.0) / 8, atol=1e-6)
+
+def test_gt_zero_point_boxes_excluded(tmp_path):
+    """Devkit eval-time box loading: `filter_eval_boxes` drops GT boxes
+    with zero lidar+radar points. `ground_truth_from_db` applies the same
+    rule at load time (r2 verdict weak item 5)."""
+    from radargnn_tpu.data.nuscenes.db import NuScenes
+    from radargnn_tpu.data.nuscenes.detection_eval import ground_truth_from_db
+
+    root, toks, ann_toks = _make_moving_instance_root(tmp_path)
+    # zero out the first car annotation's point counts
+    import json as _json
+    ann_path = os.path.join(root, "v1.0-mini", "sample_annotation.json")
+    with open(ann_path) as f:
+        anns = _json.load(f)
+    for a in anns:
+        if a["token"] == ann_toks[0]:
+            a["num_lidar_pts"] = 0
+            a["num_radar_pts"] = 0
+    with open(ann_path, "w") as f:
+        _json.dump(anns, f)
+
+    nusc = NuScenes("v1.0-mini", root)
+    gt, _ = ground_truth_from_db(nusc, toks)
+    # first sample: the car is gone, the pedestrian (nonzero pts) remains
+    assert [b["detection_name"] for b in gt[toks[0]]] == ["pedestrian"]
+    # later samples keep their car
+    assert [b["detection_name"] for b in gt[toks[1]]] == ["car"]

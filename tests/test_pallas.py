@@ -1077,3 +1077,36 @@ def test_fused_v3_variants_match_reference(variant):
         # self-consistency: d_offset = g_pass = 2·out under this loss
         np.testing.assert_allclose(got[1][4], 2.0 * got[0], rtol=1e-6,
                                    atol=1e-6, err_msg="offset")
+
+def test_spread_tiler_vectorized_invariants():
+    """The vectorized round-robin spread placement (r2 advisor item: the
+    per-receiver Python loop was O(receivers×tiles)) must preserve every
+    spread-tiling invariant on random graphs — exactly-once coverage
+    (tiles + leftover), per-tile per-receiver run length ≤ cap, contiguous
+    runs, receivers inside their tile's block. Small random cases also
+    exercise the greedy fallback (fill overflow)."""
+    from radargnn_tpu.ops.pallas_kernels import prepare_spread_csr_tiles
+
+    rng = np.random.default_rng(3)
+    for trial in range(20):
+        n = int(rng.integers(10, 300))
+        e = int(rng.integers(1, 2500))
+        recv = rng.integers(0, n, e)
+        m = rng.random(e) < 0.9
+        cap = int(rng.choice([1, 2, 4]))
+        nb, te = int(rng.choice([16, 32])), int(rng.choice([32, 64]))
+        perm, blocks, precv, left = prepare_spread_csr_tiles(
+            recv, m, n, nb, te, cap)
+        valid = precv >= 0
+        covered = np.concatenate([perm[valid], left])
+        assert sorted(covered.tolist()) == \
+            sorted(np.flatnonzero(m).tolist()), trial
+        assert perm[valid].size == np.unique(perm[valid]).size
+        pr = precv.reshape(-1, te)
+        for row, blk in zip(pr, blocks):
+            vals, counts = np.unique(row[row >= 0], return_counts=True)
+            assert (counts <= cap).all(), (trial, cap)
+            for v in vals:
+                idx = np.flatnonzero(row == v)
+                assert idx[-1] - idx[0] + 1 == len(idx), (trial, v)
+            assert ((vals // nb) == blk).all()
