@@ -69,8 +69,10 @@ def main():
     if args.compile:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        _os.environ.setdefault(
-            "XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            _os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
 
     from radargnn_tpu.data.synthetic import make_samples
     from radargnn_tpu.ops.pallas_kernels import morton_order

@@ -15,15 +15,18 @@ from radargnn_tpu.parallel.mesh import make_mesh
 from radargnn_tpu.train.trainer import Trainer, set_seeds
 
 
-def halo_partition_from_configs(model_config, mesh) -> dict | None:
+def halo_partition_from_configs(model_config, mesh,
+                                csr_tiling=None) -> dict | None:
     """Loader `halo_partition` dict for a mesh with model-axis edge
     partitioning; None when the mesh has no model axis. The window-overflow
     budget comes from the first-class `halo_overflow_fraction` config field
-    (MODEL_ARCHITECTURE section; see configuration_description.yml)."""
+    (MODEL_ARCHITECTURE section; see configuration_description.yml).
+    Pass the already-derived `csr_tiling` to avoid recomputation."""
     if mesh is None or mesh.shape.get("model", 1) <= 1:
         return None
-    from radargnn_tpu.models.layers import fused_csr_tiling
-    csr_tiling = fused_csr_tiling(model_config)
+    if csr_tiling is None:
+        from radargnn_tpu.models.layers import fused_csr_tiling
+        csr_tiling = fused_csr_tiling(model_config)
     if csr_tiling is None or len(csr_tiling) < 3:
         raise SystemExit(
             "mesh_axes with model>1 requires use_fused_aggregation with "
@@ -55,7 +58,8 @@ def main(path_to_graph_data: str, path_to_results: str,
     # edge partitioning over the mesh 'model' axis: the loader builds
     # per-graph halo plans and the trainer routes conv aggregation
     # through the halo-windowed kernels (parallel/halo_windowed.py)
-    halo_partition = halo_partition_from_configs(model_config, mesh)
+    halo_partition = halo_partition_from_configs(model_config, mesh,
+                                                 csr_tiling)
     if halo_partition is not None:
         print(f">>> halo edge partitioning: {halo_partition}")
     data_loaders, dataset_config_dict = get_data_loaders(

@@ -49,7 +49,9 @@ def synthetic_frame(rng: np.random.Generator, num_points: int = 1000,
     RADARSCENES_OBJECT_FRACTION / RADARSCENES_CLASS_PROBS for a frame whose
     class imbalance matches the real dataset's radar-point statistics
     (~96% background, car-dominated objects)."""
-    n_obj_pts = max(int(num_points * object_fraction), 2 * num_objects)
+    # at least 2 points per object, but never more than the frame holds
+    n_obj_pts = min(max(int(num_points * object_fraction),
+                        2 * num_objects), num_points)
     n_bg = num_points - n_obj_pts
 
     pos = np.empty((num_points, 2))

@@ -83,6 +83,13 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
             make_fused_hoisted_aggregate_v3,
         )
         sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+        if (_STREAM_M or _BF16_LANDING or _PRECOMP_LAND) and not bf16_max:
+            import warnings
+            warnings.warn(
+                "RADARGNN_FUSED_{STREAM_M,BF16_LANDING,PRECOMP_LAND} require "
+                "bf16_max routing (fused_bf16_max=True or "
+                "RADARGNN_FUSED_BF16_MAX=1); ignoring the variant knobs and "
+                "running the baseline kernels", stacklevel=2)
         fused = make_fused_hoisted_aggregate_v3(
             num_nodes, tiling.node_block, tiling.edge_tile,
             window_blocks=pmask.shape[0], roll_passes=tiling.roll_passes,

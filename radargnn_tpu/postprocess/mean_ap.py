@@ -138,12 +138,16 @@ class MeanAveragePrecision:
         det = self.detections[idx]
         gt = self.groundtruths[idx]
         if det.shape[0] == 0 or gt.shape[0] == 0:
-            out = np.zeros((det.shape[0], gt.shape[0]))
+            out = np.zeros((det.shape[0], gt.shape[0]), np.float32)
         elif self.use_point_iou:
             out = np.asarray(geometry_point_iou(
                 det, gt, self.point_clouds[idx], self.is_aligned))
         else:
             out = _box_iou(det, gt, self.is_aligned)
+        # float32 bounds the run-long cache: Σ_i dets_i·gts_i · 4 B for the
+        # whole split (e.g. 20k frames × 200×100 ≈ 160 MB); the cache dict
+        # is local to compute() and freed when it returns
+        out = np.asarray(out, np.float32)
         iou_cache[idx] = out
         return out
 
