@@ -49,6 +49,7 @@ _STREAM_M = _os.environ.get("RADARGNN_FUSED_STREAM_M", "0") == "1"
 _SENDER_DX = _os.environ.get("RADARGNN_FUSED_SENDER_DX", "0") == "1"
 _BF16_LANDING = _os.environ.get("RADARGNN_FUSED_BF16_LANDING", "0") == "1"
 _PRECOMP_LAND = _os.environ.get("RADARGNN_FUSED_PRECOMP_LAND", "0") == "1"
+_PRECOMP_EQT = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQT", "0") == "1"
 
 
 def fused_csr_tiling(model_config):
@@ -97,7 +98,8 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
             stream_m=_STREAM_M and bf16_max,
             sender_dx=_SENDER_DX or (_STREAM_M and bf16_max),
             bf16_landing=_BF16_LANDING and bf16_max,
-            precomp_land=_PRECOMP_LAND and _BF16_LANDING and bf16_max)
+            precomp_land=_PRECOMP_LAND and _BF16_LANDING and bf16_max,
+            precomp_eqT=_PRECOMP_EQT)
         return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
                      offset, ovf_e, tiling.receivers, tiling.blocks, t_win,
                      sloc, pmask, ovf_s, ovf_r)

@@ -1293,6 +1293,7 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                          bf16_cmp: bool = False, use_m_stream: bool = False,
                          sender_dx: bool = False, precomp_eq: bool = False,
                          precomp_land: bool = False,
+                         precomp_eqT: bool = False,
                          grad_dtype=jnp.bfloat16):
     wb = window_blocks
     i = 0
@@ -1313,6 +1314,10 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     eqt_ref = None
     if precomp_land:
         eqt_ref = refs[i]
+        i += 1
+    eqsT_ref = None
+    if precomp_eqT:
+        eqsT_ref = refs[i]
         i += 1
     de_ref = refs[i]
     i += 1
@@ -1346,10 +1351,17 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
     cd = grad_dtype
     w_width = wb * node_block
     sloc2d = sloc_ref[pl.ds(t, 1), :]
-    if precomp_eq:
+    if precomp_eqT:
+        # pre-transposed [W, TE] stream: the dx landing consumes it
+        # directly — no in-kernel eq build OR transpose
+        eq_sT = eqsT_ref[0]
+        eq_s = None
+    elif precomp_eq:
         eq_s = eqs_ref[:]                                      # [TE, W]
+        eq_sT = eq_s.T
     else:
         eq_s = _window_eq(sloc2d, edge_tile, w_width, cd)
+        eq_sT = eq_s.T
     if use_m_stream:
         # bf16(m) streamed from the forward: no operand recompute, and the
         # bf16 routing equality compares exactly the same values the
@@ -1429,7 +1441,7 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         # node-wide XLA matmuls outside the kernel — removes the d_xg
         # projection, the in-kernel dW_s, and (with the m stream) every use
         # of x_g from the backward
-        dys = jnp.dot(eq_s.T, d_op_c,
+        dys = jnp.dot(eq_sT, d_op_c,
                       preferred_element_type=jnp.float32)      # [W, H]
         for j, dxp in enumerate(dx_parts):
             dxp[:] += dys[j * node_block:(j + 1) * node_block]
@@ -1438,7 +1450,7 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
                        preferred_element_type=jnp.float32)     # [TE, d_in]
         dws_ref[:] += jnp.dot(x_g.T, d_op_c,
                               preferred_element_type=jnp.float32)
-        dxw = jnp.dot(eq_s.T, d_xg.astype(cd),
+        dxw = jnp.dot(eq_sT, d_xg.astype(cd),
                       preferred_element_type=jnp.float32)      # [W, d_in]
         for j, dxp in enumerate(dx_parts):
             dxp[:] += dxw[j * node_block:(j + 1) * node_block]
@@ -1541,7 +1553,7 @@ def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
                        senders_local, tile_blocks, tile_win, inner, g,
                        num_nodes, node_block, edge_tile, window_blocks,
                        interpret, bf16_cmp=False, use_m_stream=False,
-                       sender_dx=False, eq_m=None, eq_t=None):
+                       sender_dx=False, eq_m=None, eq_t=None, eq_mT=None):
     """`data_stream` is the forward's xg stream (default) or its bf16 m
     stream (`use_m_stream`). With `sender_dx` the per-part outputs hold the
     H-wide sender-space sums d_ys and there is no in-kernel dW_s."""
@@ -1593,6 +1605,11 @@ def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
                                      lambda i, tb, tw: (i, 0, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(eq_t)
+    if eq_mT is not None:
+        in_specs.append(pl.BlockSpec((1, w_width, edge_tile),
+                                     lambda i, tb, tw: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(eq_mT)
 
     def part_map(j):
         return lambda i, tb, tw: (jnp.minimum(tw[i] + j, nblocks_pad - 1), 0)
@@ -1627,6 +1644,7 @@ def _fused_bwd_call_v3(data_stream, w_s, e_t, w_e, padded_recv,
                           bf16_cmp=bf16_cmp, use_m_stream=use_m_stream,
                           sender_dx=sender_dx, precomp_eq=eq_m is not None,
                           precomp_land=eq_t is not None,
+                          precomp_eqT=eq_mT is not None,
                           grad_dtype=(jnp.float32 if interpret
                                       else jnp.bfloat16)),
         out_shape=tuple(out_shape),
@@ -1650,7 +1668,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     stream_m: bool = False,
                                     sender_dx: bool = False,
                                     bf16_landing: bool = False,
-                                    precomp_land: bool = False):
+                                    precomp_land: bool = False,
+                                    precomp_eqT: bool = False):
     """Windowed fused max-aggregation (see module section comment).
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
@@ -1716,6 +1735,17 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         # (identical across layers/directions → CSE'd to one materialization)
         cols = jnp.arange(w_width, dtype=jnp.int32)
         return (senders_local[:, None] == cols[None, :]).astype(gather_dtype)
+
+    # always bf16 so interpret-mode semantics match the chip (the
+    # landing consumes r.astype(eq.dtype))
+    def _eq_mT(senders_local):
+        """Pre-transposed [T, W, TE] window one-hot for the backward dx
+        landing — removes the per-tile transpose of the streamed eq."""
+        if not precomp_eqT:
+            return None
+        sl = senders_local.astype(jnp.int32).reshape(-1, edge_tile)
+        cols = jnp.arange(w_width, dtype=jnp.int32)
+        return (sl[:, None, :] == cols[None, :, None]).astype(gather_dtype)
 
     # always bf16 so interpret-mode semantics match the chip (the
     # landing consumes r.astype(eq.dtype))
@@ -1816,7 +1846,11 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             recv_t, senders_local, tile_blocks, tile_win, inner_z, g_pass,
             num_nodes, node_block, edge_tile, window_blocks, interpret,
             bf16_cmp=bf16_max, use_m_stream=stream_m, sender_dx=sender_dx,
-            eq_m=_eq_m(senders_local), eq_t=_eq_t(recv_t, tile_blocks))
+            # with the pre-transposed stream the backward never touches the
+            # row-major eq — don't ship both
+            eq_m=None if precomp_eqT else _eq_m(senders_local),
+            eq_t=_eq_t(recv_t, tile_blocks),
+            eq_mT=_eq_mT(senders_local))
         d_e_t = d_e_t.astype(e_t.dtype)   # cotangent dtype = primal dtype
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
         part_w = parts[0].shape[1]

@@ -1001,6 +1001,8 @@ def test_default_routing_is_valid_subgradient_on_bf16_tie():
     dict(bf16_max=True, sender_dx=True, stream_m=True, precomp_eq=True,
          bf16_landing=True),
     dict(bf16_max=True, bf16_landing=True, precomp_land=True),
+    dict(precomp_eq=True, precomp_eqT=True),
+    dict(bf16_max=True, precomp_eqT=True, sender_dx=True),
     dict(bf16_max=True, sender_dx=True, stream_m=True, precomp_eq=True,
          bf16_landing=True, precomp_land=True),
 ])
