@@ -230,7 +230,8 @@ class GNNArchitectureConfig:
     fused_overflow_fraction: float = 0.05
     # OPT-IN speed knob: backward-only bf16 max-gradient routing in the
     # windowed kernels — the backward gathers bf16(inner) so its largest f32
-    # matmul rides the bf16 MXU (+1.3% measured); forward maxima/outputs
+    # matmul rides the bf16 MXU (+1.3% r1; +0.6% at the r3 precomp_eq
+    # kernels); forward maxima/outputs
     # stay exact f32. Gradient-semantics caveat (why this is OFF by
     # default): every message tied with the max at bf16 resolution receives
     # the FULL upstream cotangent, so k ties contribute k·g — not a valid
