@@ -97,7 +97,9 @@ RUN_CAP = int(os.environ.get("BENCH_RUN_CAP", "4"))
 # cotangent (k ties => k*g, not a valid subgradient); the bench enables it
 # EXPLICITLY as the documented opt-in speed knob (+1.3%) — convergence
 # measured equivalent on the flagship runs (docs/RESULTS.md). Set
-# BENCH_BF16_MAX=0 to measure the strict default path.
+# BENCH_BF16_MAX=0 to measure the strict default path (r3 measured: the
+# strict path costs only 0.6% — 9.86M vs 9.92M — at the precomp_eq
+# kernels; the opt-in is kept for comparability with the r2 number).
 BF16_MAX = os.environ.get("BENCH_BF16_MAX", "1") == "1"
 
 
