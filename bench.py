@@ -80,12 +80,20 @@ FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 # windowed (v3) kernels: Morton node order + in-kernel windowed gathers;
 # 0 falls back to the v2 CSR tiling
 WINDOWS = os.environ.get("BENCH_WINDOWS", "1") == "1"
+# tiling family: "dense" (v4 fixed-degree kNN kernels — no landing matmul,
+# no backward one-hot gathers), "windowed" (v3), or "csr" (v2, same as
+# BENCH_WINDOWS=0). Overrides BENCH_WINDOWS when set.
+TILING = os.environ.get("BENCH_TILING",
+                        "windowed" if WINDOWS else "csr")
 # overflow budget: 3% fits the flagship clouds' window overflow (~2.9%)
 # for contiguous CSR runs; spread tiling (run_cap) pushes frame 3 of the
 # bench clouds to 2055 overflow edges (> the 2048 slots of 3%), so the
-# default pairs run_cap=4 with 4%
+# default pairs run_cap=4 with 4%. Dense tiling adds the over-degree spill
+# (~2.4% at +4 slots) on top of its window overflow → 8% default.
 OVF_FRAC = float(os.environ.get(
-    "BENCH_OVF_FRAC", "0.04" if os.environ.get("BENCH_RUN_CAP", "4") != "0"
+    "BENCH_OVF_FRAC",
+    "0.08" if os.environ.get("BENCH_TILING") == "dense"
+    else "0.04" if os.environ.get("BENCH_RUN_CAP", "4") != "0"
     else "0.03"))
 # spread-tiling run cap (0 = contiguous CSR runs); see
 # configs.GNNArchitectureConfig.fused_run_cap. Measured (docs/RESULTS.md):
@@ -94,13 +102,12 @@ OVF_FRAC = float(os.environ.get(
 RUN_CAP = int(os.environ.get("BENCH_RUN_CAP", "4"))
 # bf16 backward max-gradient routing (fused_bf16_max). OFF in the model
 # config by default because bf16-tied messages each receive the full
-# cotangent (k ties => k*g, not a valid subgradient); the bench enables it
-# EXPLICITLY as the documented opt-in speed knob (+1.3%) — convergence
-# measured equivalent on the flagship runs (docs/RESULTS.md). Set
-# BENCH_BF16_MAX=0 to measure the strict default path (r3 measured: the
-# strict path costs only 0.6% — 9.86M vs 9.92M — at the precomp_eq
-# kernels; the opt-in is kept for comparability with the r2 number).
-BF16_MAX = os.environ.get("BENCH_BF16_MAX", "1") == "1"
+# cotangent (k ties => k*g, not a valid subgradient). The bench default
+# matches the shipping model-config default (strict routing) so the driver
+# headline measures what users get; BENCH_BF16_MAX=1 is the documented
+# opt-in speed knob (r3 measured: 9.92M opt-in vs 9.86M strict, +0.6%;
+# convergence measured equivalent on the flagship runs, docs/RESULTS.md).
+BF16_MAX = os.environ.get("BENCH_BF16_MAX", "0") == "1"
 
 
 def main():
@@ -154,13 +161,22 @@ def main():
     samples = make_samples(num_frames=GRAPHS, num_points=NUM_POINTS, seed=0)
     if FUSED:
         from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
+            FUSED_DENSE_R_TILE, FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+            FUSED_WINDOW_BLOCKS,
         )
-        tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
-        if WINDOWS:
-            tiling = tiling + (FUSED_WINDOW_BLOCKS, OVF_FRAC)
-            if RUN_CAP:
-                tiling = tiling + (RUN_CAP,)
+        if TILING == "dense":
+            from radargnn_tpu.models.layers import FUSED_DENSE_EXTRA_SLOTS
+            tiling = {"mode": "dense", "node_block": FUSED_NODE_BLOCK,
+                      "r_tile": FUSED_DENSE_R_TILE,
+                      "k": k + FUSED_DENSE_EXTRA_SLOTS,
+                      "window_blocks": FUSED_WINDOW_BLOCKS,
+                      "ovf_frac": OVF_FRAC}
+        else:
+            tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+            if TILING == "windowed":
+                tiling = tiling + (FUSED_WINDOW_BLOCKS, OVF_FRAC)
+                if RUN_CAP:
+                    tiling = tiling + (RUN_CAP,)
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=NUM_POINTS, bg_index=5,

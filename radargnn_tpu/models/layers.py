@@ -33,9 +33,19 @@ FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 512))
 # sender-window width (in node blocks) for the windowed (v3) kernels; the
 # loader builds the matching tiling when given a 3-tuple csr_tiling
 FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 3))
+# receivers per tile for the dense fixed-degree (v4) kernels (tile covers
+# R_TILE*k edge slots); max_nodes must be divisible by it
+FUSED_DENSE_R_TILE = int(_os.environ.get("RADARGNN_FUSED_DENSE_R_TILE", 32))
+# in-edge SLOTS per receiver for the dense kernels, as a delta over the
+# graph's kNN k: the reference aggregates at the kNN target side so
+# in-degree is variable (flagship mean 20 / p90 26); +4 slots keeps the
+# over-degree spill ~2.4% (prepare_dense_knn_tiles docstring)
+FUSED_DENSE_EXTRA_SLOTS = int(
+    _os.environ.get("RADARGNN_FUSED_DENSE_EXTRA_SLOTS", 4))
 # backward-only bf16 max-gradient routing in the windowed kernels (see
 # make_fused_hoisted_aggregate_v3); None = follow the model config
-# (fused_bf16_max, default on), "0"/"1" forces it off/on for experiments
+# (fused_bf16_max, default OFF — strict subgradient-valid routing),
+# "0"/"1" forces it off/on for experiments
 _BF16_MAX_ENV = _os.environ.get("RADARGNN_FUSED_BF16_MAX")
 # spread-tiling run cap (see configs.GNNArchitectureConfig.fused_run_cap);
 # "" / unset = follow the model config, "0" forces contiguous CSR runs
@@ -52,11 +62,26 @@ _PRECOMP_LAND = _os.environ.get("RADARGNN_FUSED_PRECOMP_LAND", "0") == "1"
 _PRECOMP_EQT = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQT", "0") == "1"
 
 
-def fused_csr_tiling(model_config):
-    """Loader `csr_tiling` tuple for a GNNArchitectureConfig, or None when
-    the fused path is off. Single source of truth for CLI / benchmarks."""
+def fused_csr_tiling(model_config, k=None):
+    """Loader `csr_tiling` spec for a GNNArchitectureConfig, or None when
+    the fused path is off. Single source of truth for CLI / benchmarks.
+
+    `fused_tiling: "dense"` (kNN graphs only) needs the graph's fixed
+    in-degree `k` (GraphConstructionConfiguration.k) and returns the dense
+    tiling dict; the tuple modes ignore `k`."""
     if not getattr(model_config, "use_fused_aggregation", False):
         return None
+    if getattr(model_config, "fused_tiling", "windowed") == "dense":
+        if k is None:
+            raise ValueError('fused_tiling "dense" needs the kNN degree k '
+                             "(graph_construction.k); pass it to "
+                             "fused_csr_tiling")
+        return {"mode": "dense", "node_block": FUSED_NODE_BLOCK,
+                "r_tile": FUSED_DENSE_R_TILE,
+                "k": int(k) + FUSED_DENSE_EXTRA_SLOTS,
+                "window_blocks": FUSED_WINDOW_BLOCKS,
+                "ovf_frac": getattr(model_config,
+                                    "fused_overflow_fraction", 0.05)}
     tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
     if getattr(model_config, "fused_tiling", "windowed") == "windowed":
         tiling = tiling + (
@@ -75,6 +100,23 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
     """Dispatches the hoisted max aggregation to the fused Pallas kernels:
     windowed v3 when the tiling carries sender windows, v2 CSR otherwise.
     `offset` is the per-receiver additive term hoisted out of the max."""
+    if tiling.dense is not None:
+        # dense fixed-degree path (v4): kNN graphs have exactly k in-edges
+        # per receiver, so aggregation is a (k-1)-fold static-slice max and
+        # backward routing a direct per-slice compare — the v3 landing
+        # one-hot and inner/g gather matmuls disappear entirely
+        # (ops.pallas_kernels.make_fused_dense_aggregate).
+        from radargnn_tpu.ops.pallas_kernels import (
+            make_fused_dense_aggregate,
+        )
+        r_tile, k = tiling.dense
+        sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+        fused = make_fused_dense_aggregate(
+            num_nodes, k, r_tile, tiling.node_block,
+            window_blocks=pmask.shape[0], bf16_max=bf16_max,
+            precomp_eq=_PRECOMP_EQ)
+        return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
+                     offset, ovf_e, t_win, sloc, pmask, ovf_s, ovf_r)
     if tiling.win is not None:
         # windowed fused path (v3): Morton-ordered nodes put every tile's
         # senders inside a small node window — the E-wide gather AND the
