@@ -58,7 +58,12 @@ def main(path_to_data: str, path_to_model_folder: str,
     from radargnn_tpu.models.layers import fused_csr_tiling
     model_config = UserConfigurationReader.get_config_object(
         "MODEL_ARCHITECTURE", config_dict)
-    csr_tiling = fused_csr_tiling(model_config)
+    graph_k = None
+    if getattr(model_config, "fused_tiling", None) == "dense":
+        graph_config = UserConfigurationReader.get_config_object(
+            "GRAPH_CONSTRUCTION", config_dict)
+        graph_k = graph_config.k
+    csr_tiling = fused_csr_tiling(model_config, k=graph_k)
 
     eval_loaders, _ = get_data_loaders(
         [config.split], path_to_graph_data, batch_size=batch_size,

@@ -27,10 +27,12 @@ def halo_partition_from_configs(model_config, mesh,
     if csr_tiling is None:
         from radargnn_tpu.models.layers import fused_csr_tiling
         csr_tiling = fused_csr_tiling(model_config)
-    if csr_tiling is None or len(csr_tiling) < 3:
+    if csr_tiling is None or isinstance(csr_tiling, dict) \
+            or len(csr_tiling) < 3:
         raise SystemExit(
             "mesh_axes with model>1 requires use_fused_aggregation with "
-            "windowed tiling (the halo path runs the windowed kernels)")
+            "windowed tiling (the halo path runs the windowed kernels; "
+            "dense tiling is single-chip-per-shard only)")
     return {"dp": mesh.shape.get("data", 1),
             "mp": mesh.shape["model"],
             "ovf_frac": getattr(model_config, "halo_overflow_fraction", 0.5)}
@@ -54,7 +56,16 @@ def main(path_to_graph_data: str, path_to_results: str,
 
     print(">>> loading data")
     from radargnn_tpu.models.layers import fused_csr_tiling
-    csr_tiling = fused_csr_tiling(model_config)
+    graph_k = None
+    if getattr(model_config, "fused_tiling", None) == "dense":
+        graph_config = UserConfigurationReader.get_config_object(
+            "GRAPH_CONSTRUCTION", config_dict)
+        if graph_config.graph_construction_algorithm != "knn":
+            raise SystemExit('fused_tiling "dense" requires a kNN graph '
+                             "(fixed in-degree); use windowed tiling for "
+                             "radius graphs")
+        graph_k = graph_config.k
+    csr_tiling = fused_csr_tiling(model_config, k=graph_k)
     # edge partitioning over the mesh 'model' axis: the loader builds
     # per-graph halo plans and the trainer routes conv aggregation
     # through the halo-windowed kernels (parallel/halo_windowed.py)

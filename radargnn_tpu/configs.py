@@ -223,7 +223,11 @@ class GNNArchitectureConfig:
     # batch — loader csr_tiling=(128, 256) — and pre_layers==1, aggr "max").
     use_fused_aggregation: bool = False
     # Tiling flavor for the fused path: "windowed" (v3 Morton-windowed
-    # kernels, the fast default) or "csr" (v2 sender-sorted backward).
+    # kernels, the general default — required for radius graphs and halo
+    # partitioning), "dense" (v4 fixed-degree kernels — kNN graphs only:
+    # exactly k in-edge slots per receiver, aggregation by static-slice max
+    # instead of a landing one-hot matmul; the fastest kNN path), or "csr"
+    # (v2 sender-sorted backward).
     fused_tiling: str = "windowed"
     # Static overflow-edge budget fraction for the windowed tiling; raise if
     # the loader reports "window overflow ... exceeds budget".

@@ -47,7 +47,12 @@ class GraphDataLoader:
         self.bg_index = bg_index
         self.drop_last = drop_last
         self.csr_tiling = csr_tiling
-        if csr_tiling is not None:
+        if isinstance(csr_tiling, dict):
+            # dense (v4) tiling: buckets must align to both the x-window
+            # node blocks and the receiver-tile size
+            pad_align = max(pad_align, int(np.lcm(
+                csr_tiling["node_block"], csr_tiling["r_tile"])))
+        elif csr_tiling is not None:
             pad_align = max(pad_align, csr_tiling[0])
         if halo_partition is not None:
             # bucket must split evenly into mp node shards, and the graph
@@ -64,7 +69,8 @@ class GraphDataLoader:
         # loader-level static roll-pass bound so every batch hits the same
         # compiled windowed-kernel executable
         self.roll_passes: Optional[int] = None
-        if csr_tiling is not None and len(csr_tiling) >= 3:
+        if csr_tiling is not None and not isinstance(csr_tiling, dict) \
+                and len(csr_tiling) >= 3:
             if len(csr_tiling) >= 5 and csr_tiling[4] is not None:
                 # spread tiling caps runs at run_cap by construction
                 self.roll_passes = (int(csr_tiling[4]) - 1).bit_length()
@@ -170,7 +176,13 @@ def get_data_loaders(splits: List[str], root: str, batch_size: int,
                 for ss in all_samples.values())
     e_max = max(max((g.num_edges for g in ss), default=1)
                 for ss in all_samples.values())
-    align = max(64, csr_tiling[0]) if csr_tiling else 64
+    if isinstance(csr_tiling, dict):
+        align = max(64, int(np.lcm(csr_tiling["node_block"],
+                                   csr_tiling["r_tile"])))
+    elif csr_tiling:
+        align = max(64, csr_tiling[0])
+    else:
+        align = 64
     if halo_partition is not None:
         align = int(np.lcm(align, halo_partition["mp"]))
     n_bucket = _round_up(n_max, align)

@@ -32,7 +32,9 @@ class FlatTiling(NamedTuple):
     """Flattened (global-index) CSR tiling bundle for the fused Pallas
     aggregation paths. `ssum` drives the v2 sender-sorted backward segment
     sum; `win` (senders_local, tile_win, part_mask, ovf_senders,
-    ovf_receivers, ovf_edge_feat) drives the v3 windowed kernels."""
+    ovf_receivers, ovf_edge_feat) drives the v3 windowed kernels; `dense`
+    (r_tile, k) switches `win` to the v4 dense fixed-degree layout
+    (prepare_dense_knn_tiles) for kNN graphs."""
 
     senders: jnp.ndarray
     receivers: jnp.ndarray
@@ -46,6 +48,8 @@ class FlatTiling(NamedTuple):
     # 2**roll_passes >= the longest same-receiver run in any tile (the max
     # in-degree bounds it); None = full log2(edge_tile)
     roll_passes: Optional[int] = None
+    # (r_tile, k) for the dense fixed-degree (v4) kernels; None = windowed
+    dense: Optional[tuple] = None
 
 
 @struct.dataclass
@@ -161,10 +165,15 @@ class GraphBatch:
         if self.tiled_senders is None:
             return None
         roll_passes = None
+        dense = None
         if self.tile_geometry is not None:
             node_block, edge_tile = self.tile_geometry[:2]
             if len(self.tile_geometry) > 2:
                 roll_passes = self.tile_geometry[2]
+            if len(self.tile_geometry) > 3 \
+                    and self.tile_geometry[3] is not None \
+                    and self.tile_geometry[3][0] == "dense":
+                dense = tuple(self.tile_geometry[3][1:])   # (r_tile, k)
         else:
             edge_tile = node_block
         g, et = self.tiled_senders.shape
@@ -204,7 +213,7 @@ class GraphBatch:
                 -1, self.ovf_edge_feat.shape[-1])
             win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e)
         return FlatTiling(senders, recv, blocks, edge_feat, ssum, win,
-                          node_block, edge_tile, roll_passes)
+                          node_block, edge_tile, roll_passes, dense)
 
     def flat_halo(self, mesh):
         """Device-side HaloBundle for halo-partitioned training (None when
@@ -333,7 +342,17 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
     window_blocks = None
     ovf_frac = 0.08
     run_cap = None
-    if csr_tiling is not None and len(csr_tiling) >= 3:
+    dense_cfg = None
+    if isinstance(csr_tiling, dict):
+        # dense fixed-degree (v4) tiling for kNN graphs:
+        # {"mode": "dense", "node_block", "r_tile", "k", "window_blocks",
+        #  "ovf_frac"} — see ops.pallas_kernels.prepare_dense_knn_tiles
+        if csr_tiling.get("mode") != "dense":
+            raise ValueError(f"unknown tiling dict mode: {csr_tiling}")
+        dense_cfg = dict(csr_tiling)
+        sample = morton_sort_sample(sample)
+        csr_tiling = None
+    elif csr_tiling is not None and len(csr_tiling) >= 3:
         node_block, edge_tile, window_blocks = csr_tiling[:3]
         if len(csr_tiling) >= 4:
             ovf_frac = csr_tiling[3]
@@ -390,7 +409,46 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         labels=labels, boxes=boxes,
         pos=pad_nodes(sample.pos), vel=pad_nodes(sample.vel),
     )
-    if halo_partition is not None:
+    if dense_cfg is not None:
+        from radargnn_tpu.ops.pallas_kernels import (
+            prepare_dense_knn_tiles, window_part_mask,
+        )
+        node_block = dense_cfg["node_block"]
+        r_tile = dense_cfg["r_tile"]
+        k = dense_cfg["k"]
+        window_blocks = dense_cfg.get("window_blocks", 3)
+        te = r_tile * k
+        budget = overflow_budget(max_edges, te,
+                                 dense_cfg.get("ovf_frac", 0.05))
+        perm, senders_local, tile_win, ovf_idx = prepare_dense_knn_tiles(
+            senders, receivers, edge_mask, max_nodes, k, r_tile,
+            node_block, window_blocks, budget)
+        nblocks = (max_nodes + node_block - 1) // node_block
+        pmask = window_part_mask(tile_win, nblocks, window_blocks)
+        ovf_valid = ovf_idx >= 0
+        ovf_c = np.maximum(ovf_idx, 0)
+        t = max_nodes // r_tile
+        # receiver per slot is implicit in the layout; materialize it for
+        # the FlatTiling bookkeeping fields (kernels never read it)
+        slot_recv = (np.repeat(np.arange(t), te) * r_tile
+                     + np.tile(np.arange(te) % r_tile, t)).astype(np.int32)
+        slot_recv = np.where(senders_local >= 0, slot_recv, -1)
+        out.update(
+            tiled_perm=perm, tiled_receivers=slot_recv,
+            tile_blocks=((np.arange(t) * r_tile) // node_block
+                         ).astype(np.int32),
+            tiled_senders=senders[perm],
+            tiled_edge_feat=out["edge_feat"][perm],
+            win_senders_local=senders_local, tile_win=tile_win,
+            win_part_mask=pmask,
+            ovf_senders=np.where(ovf_valid, senders[ovf_c], 0
+                                 ).astype(np.int32),
+            ovf_receivers=np.where(ovf_valid, receivers[ovf_c], -1
+                                   ).astype(np.int32),
+            ovf_edge_feat=np.where(ovf_valid[:, None],
+                                   out["edge_feat"][ovf_c], 0.0
+                                   ).astype(np.float32))
+    elif halo_partition is not None:
         from radargnn_tpu.parallel.halo_windowed import (
             build_halo_windowed_plan, plan_budgets,
         )
@@ -542,6 +600,17 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
         halo_geometry = geoms[0][:4] + (rp,) + geoms[0][5:]
     arrays = {k: np.stack([p[k] for p in padded])
               for k in padded[0] if not k.startswith("_")}
+    if isinstance(csr_tiling, dict):
+        # dense fixed-degree (v4) geometry: edge_tile = r_tile*k slots,
+        # trailing ("dense", r_tile, k) marker read by flat_tiling
+        r_tile, kk = csr_tiling["r_tile"], csr_tiling["k"]
+        geometry = (csr_tiling["node_block"], r_tile * kk, None,
+                    ("dense", r_tile, kk))
+        valid_edges = int(sum(s.num_edges for s in samples))
+        batch = GraphBatch(**{k: jnp.asarray(v) for k, v in arrays.items()},
+                           tile_geometry=geometry, halo_geometry=None)
+        object.__setattr__(batch, "host_valid_edges", valid_edges)
+        return batch
     geometry = tuple(csr_tiling[:2]) \
         if csr_tiling is not None and halo_partition is None else None
     if geometry is not None and csr_tiling is not None \

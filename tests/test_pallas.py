@@ -1112,3 +1112,222 @@ def test_spread_tiler_vectorized_invariants():
                 idx = np.flatnonzero(row == v)
                 assert idx[-1] - idx[0] + 1 == len(idx), (trial, v)
             assert ((vals // nb) == blk).all()
+
+
+# ---------------------------------------------------------------------------
+# dense fixed-degree (v4) kernels
+# ---------------------------------------------------------------------------
+
+def _dense_setup(seed=7, K=7, variable_degree=True):
+    """Small graph + dense tiling; variable in-degree exercises the
+    over-degree spill path (the reference aggregates at the kNN target
+    side, so in-degree is variable — prepare_dense_knn_tiles docstring)."""
+    from radargnn_tpu.ops.pallas_kernels import (
+        prepare_dense_knn_tiles, window_part_mask,
+    )
+    rng = np.random.default_rng(seed)
+    n, d_in, de, h = 96, 24, 8, 32
+    r_tile, node_block, wb = 8, 16, 2
+    if variable_degree:
+        e = 400
+        send = rng.integers(0, 80, e).astype(np.int32)
+        recv = rng.integers(0, 80, e).astype(np.int32)
+        mask = rng.random(e) < 0.9
+    else:
+        nv = 80
+        recv = np.repeat(np.arange(nv), K).astype(np.int32)
+        send = rng.integers(0, nv, nv * K).astype(np.int32)
+        e = nv * K
+        mask = np.ones(e, bool)
+        mask[recv == 3] = ([True, False] * K)[:K]
+    x = rng.normal(size=(n, d_in)).astype(np.float32)
+    w_s = (rng.normal(size=(d_in, h)) * 0.3).astype(np.float32)
+    e_feat = rng.normal(size=(e, de)).astype(np.float32)
+    w_e = (rng.normal(size=(de, h)) * 0.3).astype(np.float32)
+    offset = rng.normal(size=(n, h)).astype(np.float32)
+    te = r_tile * K
+    perm, sloc, tile_win, ovf_idx = prepare_dense_knn_tiles(
+        send, recv, mask, n, K, r_tile, node_block, wb,
+        ovf_budget=-(-e // te) * te)
+    pmask = window_part_mask(tile_win, -(-n // node_block), wb)
+    ovf_valid = ovf_idx >= 0
+    ovf_s = np.where(ovf_valid, send[np.maximum(ovf_idx, 0)], 0)
+    ovf_r = np.where(ovf_valid, recv[np.maximum(ovf_idx, 0)], -1)
+    e_ovf = np.where(ovf_valid[:, None], e_feat[np.maximum(ovf_idx, 0)],
+                     0.0).astype(np.float32)
+    geo = dict(n=n, K=K, r_tile=r_tile, node_block=node_block, wb=wb)
+    arrays = dict(x=x, w_s=w_s, e_feat=e_feat, w_e=w_e, offset=offset,
+                  send=send, recv=recv, mask=mask, perm=perm, sloc=sloc,
+                  tile_win=tile_win, ovf_idx=ovf_idx, pmask=pmask,
+                  ovf_s=ovf_s, ovf_r=ovf_r,
+                  e_t=e_feat[perm], e_ovf=e_ovf)
+    return geo, arrays
+
+
+@pytest.mark.parametrize("precomp_eq", [True, False])
+@pytest.mark.parametrize("variable_degree", [True, False])
+def test_fused_dense_aggregate_matches(precomp_eq, variable_degree):
+    """v4 dense kernels (static-slice max, per-slice backward routing,
+    over-degree spill): forward and all gradients match the XLA
+    formulation — for both a true fixed-degree graph and a random
+    variable-in-degree graph (spill + window overflow exercised)."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import make_fused_dense_aggregate
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    geo, a = _dense_setup(variable_degree=variable_degree)
+    assert (a["ovf_idx"] >= 0).sum() > 10, "test should exercise overflow"
+
+    fused = make_fused_dense_aggregate(
+        geo["n"], geo["K"], geo["r_tile"], geo["node_block"], geo["wb"],
+        precomp_eq=precomp_eq)
+    consts = tuple(map(jnp.asarray, (a["tile_win"], a["sloc"], a["pmask"],
+                                     a["ovf_s"], a["ovf_r"])))
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_, e_ovf_):
+        return fused(x_, w_s_, e_t_, w_e_, offset_, e_ovf_, *consts)
+
+    def f_xla(x_, w_s_, e_feat_, w_e_, offset_):
+        operand = (x_ @ w_s_)[jnp.asarray(a["send"])] + e_feat_ @ w_e_
+        return hoisted_segment_max(operand, jnp.asarray(a["recv"]),
+                                   geo["n"], jnp.asarray(a["mask"]), False,
+                                   offset_)
+
+    args_p = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_t"], a["w_e"],
+                                     a["offset"], a["e_ovf"])))
+    args_x = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_feat"],
+                                     a["w_e"], a["offset"])))
+    np.testing.assert_allclose(np.asarray(f_pallas(*args_p)),
+                               np.asarray(f_xla(*args_x)),
+                               rtol=1e-4, atol=1e-4)
+    g_p = jax.grad(lambda *ar: (f_pallas(*ar) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *ar: (f_xla(*ar) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, u, v in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
+    # edge-feature gradient: slot + overflow cotangents scatter back to the
+    # original edge layout and must match the XLA e-grad
+    ge = jax.grad(lambda et, eo: (f_pallas(args_p[0], args_p[1], et,
+                                           args_p[3], args_p[4], eo) ** 2)
+                  .sum(), argnums=(0, 1))(args_p[2], args_p[5])
+    ge_x = jax.grad(lambda ef: (f_xla(args_x[0], args_x[1], ef,
+                                      *args_x[3:]) ** 2).sum())(args_x[2])
+    ge_s = np.zeros_like(a["e_feat"])
+    np.add.at(ge_s, a["perm"], np.asarray(ge[0]))
+    ovf_valid = a["ovf_idx"] >= 0
+    np.add.at(ge_s, np.maximum(a["ovf_idx"], 0),
+              np.where(ovf_valid[:, None], np.asarray(ge[1]), 0.0))
+    np.testing.assert_allclose(ge_s, np.asarray(ge_x), rtol=2e-3, atol=2e-3)
+
+
+def test_fused_dense_aggregate_bf16_max_semantics():
+    """v4 dense kernels under bf16_max routing match the straight-through
+    bf16-equality reference (same semantics as the v3 bf16_max test)."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import make_fused_dense_aggregate
+
+    geo, a = _dense_setup(variable_degree=True)
+    fused = make_fused_dense_aggregate(
+        geo["n"], geo["K"], geo["r_tile"], geo["node_block"], geo["wb"],
+        bf16_max=True)
+    consts = tuple(map(jnp.asarray, (a["tile_win"], a["sloc"], a["pmask"],
+                                     a["ovf_s"], a["ovf_r"])))
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_, e_ovf_):
+        return fused(x_, w_s_, e_t_, w_e_, offset_, e_ovf_, *consts)
+
+    r_j = jnp.asarray(a["recv"])
+    m_j = jnp.asarray(a["mask"])
+
+    def f_ref(x_, w_s_, e_feat_, w_e_, offset_):
+        op = (x_ @ w_s_)[jnp.asarray(a["send"])] + e_feat_ @ w_e_
+        neg = jnp.float32(-3.0e38)
+        op_m = jnp.where(m_j[:, None], op, neg)
+        inner = jax.lax.stop_gradient(
+            jax.ops.segment_max(op_m, r_j, num_segments=geo["n"]))
+        inner16 = inner.astype(jnp.bfloat16).astype(jnp.float32)
+        eqm = m_j[:, None] & (op.astype(jnp.bfloat16)
+                              == inner16[r_j].astype(jnp.bfloat16))
+        flow = jax.ops.segment_sum(
+            jnp.where(eqm, op - jax.lax.stop_gradient(op), 0.0), r_j,
+            num_segments=geo["n"])
+        has = inner > neg / 2
+        return jnp.where(has, offset_ + inner + flow, 0.0)
+
+    args_p = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_t"], a["w_e"],
+                                     a["offset"], a["e_ovf"])))
+    args_x = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_feat"],
+                                     a["w_e"], a["offset"])))
+    np.testing.assert_allclose(np.asarray(f_pallas(*args_p)),
+                               np.asarray(f_ref(*args_x)),
+                               rtol=1e-6, atol=1e-6)
+    g_p = jax.grad(lambda *ar: (f_pallas(*ar) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *ar: (f_ref(*ar) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, u, v in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-4, atol=1e-4, err_msg=nm)
+
+
+def test_detnet_dense_tiling_matches_xla_train_steps():
+    """DetNet with fused_tiling='dense' (loader dict tiling) trains
+    bit-comparably to the XLA path over two full train steps — the
+    end-to-end plumbing check (loader -> GraphBatch geometry ->
+    flat_tiling -> layers dispatch -> kernels -> trainer)."""
+    import dataclasses
+
+    import jax
+
+    from radargnn_tpu.configs import GNNArchitectureConfig, TrainingConfig
+    from radargnn_tpu.data.synthetic import make_samples
+    from radargnn_tpu.graph.batch import stack_samples
+    from radargnn_tpu.models.detnet import create_detnet_state
+    from radargnn_tpu.train.trainer import Trainer
+
+    k = 20
+    samples = make_samples(num_frames=2, num_points=200, seed=0)
+    arch = GNNArchitectureConfig(
+        node_feature_dimension=5, edge_feature_dimension=2,
+        conv_layer_dimensions=[32, 32],
+        classification_head_layer_dimensions=[6],
+        regression_head_layer_dimensions=[8, 5],
+        initial_node_feature_embedding=True,
+        initial_edge_feature_embedding=True,
+        node_feature_embedding_layer_dimensions=[16, 24],
+        edge_feature_embedding_layer_dimensions=[4, 8],
+        conv_layer_type="MPNNConv", batch_norm_in_mlps=False,
+        compute_dtype="float32", assume_sorted_edges=True,
+        use_fused_aggregation=True, fused_tiling="dense")
+    tcfg = TrainingConfig(
+        dataset="radarscenes", learning_rate=1e-3, epochs=1, batch_size=2,
+        shuffle=False, bg_index=5, bb_loss_weight=0.5,
+        regularization_strength=0.0, adapt_orientation_angle=True)
+
+    dense = {"mode": "dense", "node_block": 64, "r_tile": 16, "k": k + 4,
+             "window_blocks": 3, "ovf_frac": 0.3}
+    b_dense = stack_samples(samples, max_nodes=256, bg_index=5,
+                            max_edges=256 * k, csr_tiling=dense)
+    b_xla = stack_samples(samples, max_nodes=256, bg_index=5,
+                          max_edges=256 * k)
+    arch_x = dataclasses.replace(arch, use_fused_aggregation=False)
+
+    model_d, var_d = create_detnet_state(arch, jax.random.key(0), b_dense)
+    model_x, var_x = create_detnet_state(arch_x, jax.random.key(0), b_xla)
+    td = Trainer(tcfg, model_d, var_d)
+    tx = Trainer(tcfg, model_x, var_x)
+    td.state = td.state.replace(params=tx.state.params,
+                                batch_stats=tx.state.batch_stats)
+
+    sd, ld = td.train_step_fn(td.state, b_dense)
+    sx, lx = tx.train_step_fn(tx.state, b_xla)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(lx),
+                               rtol=1e-4, atol=1e-5)
+    _, ld2 = td.train_step_fn(sd, b_dense)
+    _, lx2 = tx.train_step_fn(sx, b_xla)
+    np.testing.assert_allclose(np.asarray(ld2), np.asarray(lx2),
+                               rtol=1e-3, atol=1e-4)
