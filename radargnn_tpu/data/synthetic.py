@@ -27,6 +27,23 @@ DEFAULT_GRAPH_CONFIG = GraphConstructionConfiguration(
     distance_definition="X",
 )
 
+# Non-invariant configuration: bb_invariance="none" regresses ABSOLUTE box
+# centers, which is only learnable when the nodes carry their absolute
+# position — the reference marks "spatial_coordinates" as the NOT-invariant
+# node feature (`configurations/configuration_description.yml:87,237` in
+# /root/reference) and the none-mode runs include it. Without it the r3
+# none-mode proxy measured mAP exactly 0 (structurally unlearnable, not a
+# decode bug — see tests/test_none_invariance_overfit.py).
+NONE_INVARIANCE_GRAPH_CONFIG = GraphConstructionConfiguration(
+    graph_construction_algorithm="knn",
+    graph_construction_settings={"k": 20, "r": 1.0},
+    node_features=["rcs", "velocity_vector", "spatial_coordinates",
+                   "time_index", "degree"],
+    edge_features=["relative_position"],
+    edge_mode="directed",
+    distance_definition="X",
+)
+
 
 # RadarScenes object-class frequency profile (utils.properties
 # ClassDistribution.get_radar_point_dict, radar-point counts): car /
@@ -116,7 +133,9 @@ def make_samples(num_frames: int = 8, num_points: int = 1000,
     """`imbalanced` generates frames with the REAL RadarScenes class
     profile (~96% background; objects car-dominated, few points each) —
     the protocol-faithful convergence proxy (r2 verdict item 3b)."""
-    cfg = graph_config or DEFAULT_GRAPH_CONFIG
+    cfg = graph_config or (NONE_INVARIANCE_GRAPH_CONFIG
+                           if bb_invariance == "none"
+                           else DEFAULT_GRAPH_CONFIG)
     rng = np.random.default_rng(seed)
     frame_kw = {}
     if imbalanced:
