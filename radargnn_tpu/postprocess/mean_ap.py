@@ -40,7 +40,9 @@ from typing import Dict, List, Optional, Union
 import numpy as np
 
 from radargnn_tpu.utils.geometry import point_iou as geometry_point_iou
-from radargnn_tpu.postprocess.nms import aligned_iou_matrix, rotated_iou_matrix
+from radargnn_tpu.postprocess.nms import (
+    aligned_iou_matrix, batched_iou_matrices, rotated_iou_matrix,
+)
 
 MAX_DET = 100
 REC_THRESHOLDS = np.linspace(0.0, 1.0, 101)
@@ -150,6 +152,44 @@ class MeanAveragePrecision:
         out = np.asarray(out, np.float32)
         iou_cache[idx] = out
         return out
+
+    def _precompute_geometric_ious(self, iou_cache: dict,
+                                   chunk: int = 256,
+                                   pad_quantum: int = 16) -> None:
+        """Fills `iou_cache` for every frame with ONE padded device
+        dispatch per `chunk` frames (r3 verdict item 7): frames' det×GT
+        boxes pad into [F, Dmax, Gmax] and `batched_iou_matrices` computes
+        every matrix in a single jitted call — the per-frame device
+        round-trip (~0.6 s each over the dev tunnel) disappears. Pad sizes
+        round up to `pad_quantum` so chunk shapes bucket into a few
+        compiled executables. Point-IoU mode stays host-side numpy."""
+        if self.use_point_iou:
+            return
+        import jax.numpy as jnp
+        sizes = [(d.shape[0], g.shape[0])
+                 for d, g in zip(self.detections, self.groundtruths)]
+        todo = [i for i, (nd, ng) in enumerate(sizes)
+                if nd and ng and i not in iou_cache]
+        width = 4 if self.is_aligned else 5
+
+        def _round(v):
+            return -(-v // pad_quantum) * pad_quantum
+
+        for lo in range(0, len(todo), chunk):
+            grp = todo[lo:lo + chunk]
+            dmax = _round(max(sizes[i][0] for i in grp))
+            gmax = _round(max(sizes[i][1] for i in grp))
+            det = np.zeros((len(grp), dmax, width), np.float32)
+            gt = np.zeros((len(grp), gmax, width), np.float32)
+            for row, i in enumerate(grp):
+                det[row, :sizes[i][0]] = self.detections[i]
+                gt[row, :sizes[i][1]] = self.groundtruths[i]
+            ious = np.asarray(batched_iou_matrices(
+                jnp.asarray(det), jnp.asarray(gt),
+                rotated=not self.is_aligned))
+            for row, i in enumerate(grp):
+                iou_cache[i] = ious[row, :sizes[i][0], :sizes[i][1]] \
+                    .astype(np.float32)
 
     def _evaluate_image(self, idx: int, class_id: int, area_range,
                         iou_cache: dict):
@@ -279,6 +319,7 @@ class MeanAveragePrecision:
         recalls = np.full((T, len(classes), A, M), -1.0)
 
         iou_cache: dict = {}        # per-IMAGE full matrices, all classes
+        self._precompute_geometric_ious(iou_cache)
         for ci, c in enumerate(classes):
             prec, rec = self._calculate_class(c, iou_cache)
             precisions[:, :, ci] = prec

@@ -123,6 +123,20 @@ def rotated_iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("rotated",))
+def batched_iou_matrices(det: jnp.ndarray, gt: jnp.ndarray,
+                         rotated: bool) -> jnp.ndarray:
+    """All frames' IoU matrices in ONE device dispatch.
+
+    det [F, Dmax, 4|5], gt [F, Gmax, 4|5] (zero-padded rows — l=w=0 boxes
+    have IoU 0 against everything) → [F, Dmax, Gmax]. Replaces the
+    per-frame `rotated_iou_matrix` round-trips in the mAP engine (the
+    remaining 63 s of the r3 full-dataset rotated eval was dispatch
+    latency, not IoU FLOPs)."""
+    f = rotated_iou_matrix if rotated else aligned_iou_matrix
+    return jax.vmap(f)(det, gt)
+
+
+@partial(jax.jit, static_argnames=("rotated",))
 def nms_keep_mask(boxes: jnp.ndarray, scores: jnp.ndarray,
                   iou_threshold: float, rotated: bool,
                   valid: jnp.ndarray = None) -> jnp.ndarray:
