@@ -49,7 +49,10 @@ COPY ./benchmarks /app/benchmarks
 COPY ./bench.py /app/
 
 WORKDIR /app
-RUN python3 -m pip install --no-cache-dir -e .
+# the [eval] extra pulls the official nuscenes-devkit so the
+# devkit-differential test (tests/test_nuscenes_devkit_differential.py)
+# runs for real in this image (it skips where the devkit is absent)
+RUN python3 -m pip install --no-cache-dir -e ".[eval]"
 
 # smoke: package imports and native kernels build
 RUN python3 -c "import radargnn_tpu; from radargnn_tpu import native"
