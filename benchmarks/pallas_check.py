@@ -104,3 +104,57 @@ for nm, a_, b_ in zip(("w_s", "w_e", "offset"), g_d, g_r):
     print(f"fused_dense_aggregate d{nm} max rel err: {rel}")
     assert rel < 5e-2, nm
 print("PALLAS DENSE TPU OK")
+
+# v3 strict-routing gradient regression guard (r4): Mosaic's default f32
+# dot runs ONE bf16 pass on TPU, which bf16-rounded the "f32" landing and
+# made the strict 1e-5 routing equality miss the true argmax — measured
+# pre-fix: only 2.1% of the expected x-gradient magnitude survived
+# (bf16_max: 100.3%). _SEL_PRECISION on the selection dots restores it;
+# this check pins the ratio.
+from radargnn_tpu.ops.pallas_kernels import (
+    make_fused_hoisted_aggregate_v3, prepare_windowed_csr_tiles,
+    window_part_mask)
+
+n4, e4, d4, de4, h4 = 512, 4000, 32, 8, 64
+nb4, te4, wb4 = 128, 128, 2
+x4 = rng.normal(size=(n4, d4)).astype(np.float32)
+ws4 = (rng.normal(size=(d4, h4)) * 0.3).astype(np.float32)
+ef4 = rng.normal(size=(e4, de4)).astype(np.float32)
+we4 = (rng.normal(size=(de4, h4)) * 0.3).astype(np.float32)
+off4 = rng.normal(size=(n4, h4)).astype(np.float32)
+base4 = rng.integers(0, n4, e4)
+send4 = base4.astype(np.int32)
+recv4 = np.clip(base4 + rng.integers(-40, 40, e4), 0, n4 - 1).astype(np.int32)
+mask4 = np.ones(e4, bool)
+(perm4, tb4, prec4, sloc4, twin4, ovfi4) = prepare_windowed_csr_tiles(
+    send4, recv4, mask4, n4, nb4, te4, wb4,
+    ovf_budget=-(-e4 // te4) * te4)
+pmask4 = window_part_mask(twin4, -(-n4 // nb4), wb4)
+ov4 = ovfi4 >= 0
+ovs4 = np.where(ov4, send4[np.maximum(ovfi4, 0)], 0)
+ovr4 = np.where(ov4, recv4[np.maximum(ovfi4, 0)], -1)
+ove4 = np.where(ov4[:, None], ef4[np.maximum(ovfi4, 0)], 0.0
+                ).astype(np.float32)
+consts4 = tuple(map(jnp.asarray, (prec4, tb4, twin4, sloc4, pmask4,
+                                  ovs4, ovr4)))
+args4 = tuple(map(jnp.asarray, (x4, ws4, ef4[perm4], we4, off4, ove4)))
+
+
+def _f_xla4(x_):
+    op = (x_ @ jnp.asarray(ws4))[jnp.asarray(send4)] \
+        + jnp.asarray(ef4) @ jnp.asarray(we4)
+    m = jnp.where(jnp.asarray(mask4)[:, None], op, -3.0e38)
+    inner = jax.ops.segment_max(m, jnp.asarray(recv4), num_segments=n4)
+    has = inner > -1.5e38
+    return jnp.where(has, jnp.asarray(off4) + inner, 0.0)
+
+
+gx_ref4 = np.asarray(jax.grad(lambda x_: _f_xla4(x_).sum())(jnp.asarray(x4)))
+fused4 = make_fused_hoisted_aggregate_v3(n4, nb4, te4, wb4,
+                                         interpret=False)
+gx4 = np.asarray(jax.grad(lambda *a: fused4(*a, *consts4).sum(),
+                          argnums=0)(*args4))
+ratio = np.abs(gx4).sum() / np.abs(gx_ref4).sum()
+print("v3 strict x-grad magnitude ratio vs XLA:", round(float(ratio), 4))
+assert 0.97 < ratio < 1.03, "strict routing is dropping max-gradients"
+print("PALLAS STRICT-ROUTING TPU OK")

@@ -34,6 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -3.0e38                       # finite -inf stand-in (python float)
 
+# f32 one-hot SELECTION matmuls must not ride Mosaic's default f32 dot:
+# measured on the chip (r4), the default lowers f32×f32 to ONE bf16 MXU
+# pass — a one-hot selection dot then returns exactly-bf16-rounded values
+# (probe: |out − bf16(out)| = 0, |out − a| up to 8e-3), which silently
+# rounded every "f32" landing's maxima AND broke the strict routing
+# equality (the 1e-5 tolerance misses bf16 rounding by ~200×, dropping
+# max-gradients). HIGHEST (multi-pass) is f32-exact; bf16-INPUT dots are
+# unaffected (native MXU mode). Apply to every dot whose f32 values are
+# SELECTED (landings, inner/g gathers), not to bf16-input compute dots.
+_SEL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
@@ -547,7 +558,8 @@ def _msg_segmax_scan_kernel(tile_blocks_ref, m_in_ref, w_ref, b_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
           ).astype(jnp.float32)
-    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)   # [TN, H]
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32,
+                   precision=_SEL_PRECISION)                    # [TN, H]
     cnt = jnp.sum(eq, axis=1, keepdims=True)                    # [TN, 1]
     has = (cnt > 0).astype(jnp.float32)
     out_tile = sums / jnp.maximum(cnt, 1.0) * has + (has - 1.0) * (-_NEG)
@@ -689,7 +701,8 @@ def _hoisted_scan_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
           ).astype(jnp.float32)
-    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32,
+                   precision=_SEL_PRECISION)
     cnt = jnp.sum(eq, axis=1, keepdims=True)
     has = (cnt > 0).astype(jnp.float32)
     out_tile = sums / jnp.maximum(cnt, 1.0) * has + (has - 1.0) * (-_NEG)
@@ -817,8 +830,12 @@ def _segsum_kernel(tile_blocks_ref, data_ref, seg_ref, o_ref, *,
     # padding slots carry segment -1 → negative local id → match no row
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
           ).astype(data_ref.dtype)                             # [TN, TE]
+    # f32 data must not ride the 1-pass default (see _SEL_PRECISION);
+    # bf16 data stays native-exact on the bf16 MXU
+    prec = _SEL_PRECISION if data_ref.dtype == jnp.float32 else None
     o_ref[:] += jnp.dot(eq, data_ref[:],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
 
 
 @functools.partial(jax.jit,
@@ -929,7 +946,8 @@ def _fused_fwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
           ).astype(jnp.float32) * is_last                      # [TN, TE]
-    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)  # [TN, H]
+    sums = jnp.dot(eq, r, preferred_element_type=jnp.float32,
+                   precision=_SEL_PRECISION)                   # [TN, H]
     has = jnp.sum(eq, axis=1, keepdims=True)                   # 0 or 1
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
@@ -997,14 +1015,16 @@ def _fused_bwd_kernel_v2(tile_blocks_ref, xg_ref, ws_ref, e_ref, we_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (node_block, edge_tile), 0)
     eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
           ).astype(jnp.float32)                                # [TN, TE]
-    # (Measured dead end, docs/RESULTS.md: bf16-casting eq/g and an exact
-    # bf16 hi+lo split for inner ran ~15% SLOWER than these f32 one-hot
-    # matmuls — the MXU handles f32 one-hot distribution well here and the
-    # casts are pure overhead.)
+    # (The r1 "f32 one-hot matmuls beat bf16 casts by 15%" measurement is
+    # explained by the default f32 dot actually running ONE bf16 pass —
+    # which also bf16-rounded the gathered inner and broke this strict
+    # 1e-5 routing on chip. _SEL_PRECISION restores exact f32 selection.)
     inner_at_e = jnp.dot(eq.T, inner_ref[:],
-                         preferred_element_type=jnp.float32)   # [TE, H]
+                         preferred_element_type=jnp.float32,
+                         precision=_SEL_PRECISION)             # [TE, H]
     g_at_e = jnp.dot(eq.T, g_ref[:],
-                     preferred_element_type=jnp.float32)       # [TE, H]
+                     preferred_element_type=jnp.float32,
+                     precision=_SEL_PRECISION)                 # [TE, H]
     has_recv = jnp.sum(eq, axis=0)[:, None]                    # [TE, 1]
     sel = (jnp.abs(operand - inner_at_e)
            <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
@@ -1290,7 +1310,10 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
             has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
         else:
             eq = eqb.astype(jnp.float32)
-            sums = jnp.dot(eq, r, preferred_element_type=jnp.float32)
+            # f32 landing must select exactly (strict routing compares the
+            # recomputed f32 operand against these landed maxima at 1e-5)
+            sums = jnp.dot(eq, r, preferred_element_type=jnp.float32,
+                           precision=_SEL_PRECISION)
             has = jnp.sum(eq, axis=1, keepdims=True)
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
@@ -1418,7 +1441,8 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
         eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
               ).astype(jnp.float32)                            # [TN, TE]
         inner_at_e = jnp.dot(eq.T, inner_ref[:],
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                             precision=_SEL_PRECISION)
         # gradients tolerate bf16: a 0/1 one-hot is exact in bf16 and the
         # upstream g rides bf16 matmuls elsewhere — halves this matmul's
         # cost. Built transposed directly from iota (no relayout).
@@ -1928,9 +1952,11 @@ def _hoisted_bwd_kernel(tile_blocks_ref, add_ref, e_ref, w_ref, b_ref,
           ).astype(jnp.float32)                                # [TN, TE]
 
     inner_at_e = jnp.dot(eq.T, inner_ref[:],
-                         preferred_element_type=jnp.float32)    # [TE, H]
+                         preferred_element_type=jnp.float32,
+                         precision=_SEL_PRECISION)              # [TE, H]
     g_at_e = jnp.dot(eq.T, g_ref[:],
-                     preferred_element_type=jnp.float32)        # [TE, H]
+                     preferred_element_type=jnp.float32,
+                     precision=_SEL_PRECISION)                  # [TE, H]
     # rows with no receiver (padding) got 0-rows from the matmuls; their
     # |operand - 0| test could spuriously pass — gate on having a receiver
     has_recv = jnp.sum(eq, axis=0)[:, None]                     # [TE, 1]
@@ -2169,7 +2195,9 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
         refs[i][:] = x_g
     op = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
-    validc = jnp.transpose(sloc2d >= 0)                         # [TE, 1]
+    # transpose the int32 BEFORE comparing — Mosaic cannot legalize a
+    # bool tpu.transpose (same pattern as the v3 kernels)
+    validc = jnp.transpose(sloc2d) >= 0                         # [TE, 1]
     op = jnp.where(validc, op, _NEG)
     # fixed-degree reduction: (k-1) static-slice maxima over the
     # neighbor-major slots — no landing matmul, no roll loop
@@ -2221,7 +2249,7 @@ def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     x_g = xg_ref[:]                                             # [TE, d_in]
     op = jnp.dot(x_g, ws_ref[:], preferred_element_type=jnp.float32) \
         + jnp.dot(e_ref[:], we_ref[:], preferred_element_type=jnp.float32)
-    validc = jnp.transpose(sloc2d >= 0)                         # [TE, 1]
+    validc = jnp.transpose(sloc2d) >= 0                         # [TE, 1]
     inner = inner_ref[:].astype(jnp.float32)                    # [R, H]
     g = g_ref[:]                                                # [R, H]
     if bf16_cmp:
