@@ -86,8 +86,13 @@ def main():
                         help="use the fused Pallas aggregation path")
     parser.add_argument("--windows", action="store_true",
                         help="with --fused: windowed (v3) Morton tiling")
+    parser.add_argument("--dense", action="store_true",
+                        help="with --fused: dense fixed-degree (v4) kNN "
+                             "tiling (k+4 slots/receiver, over-degree "
+                             "spill to overflow)")
     parser.add_argument("--ovf-frac", type=float, default=0.05,
-                        help="overflow-edge budget fraction for --windows")
+                        help="overflow-edge budget fraction for --windows "
+                             "(--dense defaults to 0.08 unless set)")
     parser.add_argument("--no-eval", action="store_true",
                         help="skip the mAP/F1 evaluation stage (saves its "
                              "compile time on remote-tunnel TPUs)")
@@ -144,11 +149,21 @@ def main():
     csr_tiling = None
     if args.fused:
         from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
+            FUSED_DENSE_EXTRA_SLOTS, FUSED_DENSE_R_TILE, FUSED_EDGE_TILE,
+            FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
-        csr_tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
-        if args.windows:
-            csr_tiling = csr_tiling + (FUSED_WINDOW_BLOCKS, args.ovf_frac)
+        if args.dense:
+            csr_tiling = {
+                "mode": "dense", "node_block": FUSED_NODE_BLOCK,
+                "r_tile": FUSED_DENSE_R_TILE,
+                "k": 20 + FUSED_DENSE_EXTRA_SLOTS,
+                "window_blocks": FUSED_WINDOW_BLOCKS,
+                "ovf_frac": max(args.ovf_frac, 0.08)}
+        else:
+            csr_tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+            if args.windows:
+                csr_tiling = csr_tiling + (FUSED_WINDOW_BLOCKS,
+                                           args.ovf_frac)
     loaders = {
         "train": GraphDataLoader(train_s, args.batch_size, True, 5, seed=1,
                                  cache_batches=not args.no_cache_batches,

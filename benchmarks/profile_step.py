@@ -56,7 +56,9 @@ def main():
         conv_layer_type="MPNNConv", batch_norm_in_mlps=False,
         compute_dtype="bfloat16", assume_sorted_edges=True,
         use_fused_aggregation=fused,
-        fused_bf16_max=os.environ.get("BENCH_BF16_MAX", "1") == "1")
+        # default matches bench.py (strict routing) so profiles trace the
+        # configuration the driver headline measures
+        fused_bf16_max=os.environ.get("BENCH_BF16_MAX", "0") == "1")
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=1e-3, epochs=1,
         batch_size=args.graphs, shuffle=False, bg_index=5,
@@ -68,18 +70,31 @@ def main():
                            seed=0)
     if fused:
         from radargnn_tpu.models.layers import (
-            FUSED_EDGE_TILE, FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
+            FUSED_DENSE_EXTRA_SLOTS, FUSED_DENSE_R_TILE, FUSED_EDGE_TILE,
+            FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
-        tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
-        if os.environ.get("BENCH_WINDOWS", "1") == "1":
-            tiling = tiling + (FUSED_WINDOW_BLOCKS,
-                               float(os.environ.get("BENCH_OVF_FRAC",
-                                                    "0.04")))
-            # default matches bench.py so profiles trace the same kernel
-            # configuration the bench measures (spread tiling, 2 roll passes)
-            run_cap = int(os.environ.get("BENCH_RUN_CAP", "4"))
-            if run_cap:
-                tiling = tiling + (run_cap,)
+        mode = os.environ.get(
+            "BENCH_TILING",
+            "windowed" if os.environ.get("BENCH_WINDOWS", "1") == "1"
+            else "csr")
+        if mode == "dense":
+            tiling = {"mode": "dense", "node_block": FUSED_NODE_BLOCK,
+                      "r_tile": FUSED_DENSE_R_TILE,
+                      "k": k + FUSED_DENSE_EXTRA_SLOTS,
+                      "window_blocks": FUSED_WINDOW_BLOCKS,
+                      "ovf_frac": float(os.environ.get("BENCH_OVF_FRAC",
+                                                       "0.08"))}
+        else:
+            tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
+            if mode == "windowed":
+                tiling = tiling + (FUSED_WINDOW_BLOCKS,
+                                   float(os.environ.get("BENCH_OVF_FRAC",
+                                                        "0.04")))
+                # default matches bench.py so profiles trace the same
+                # kernel configuration the bench measures
+                run_cap = int(os.environ.get("BENCH_RUN_CAP", "4"))
+                if run_cap:
+                    tiling = tiling + (run_cap,)
     else:
         tiling = None
     batch = stack_samples(samples, max_nodes=args.points, bg_index=5,

@@ -154,3 +154,39 @@ def test_train_cli_fused_windowed(tmp_path):
     with open(os.path.join(eval_folder, "eval_results.json")) as f:
         results_json = json.load(f)
     assert "mAP" in results_json["OBJECT_DETECTION_METRICS"]
+
+
+def test_train_cli_fused_dense(tmp_path):
+    """The YAML-exposed dense fixed-degree path (use_fused_aggregation +
+    fused_tiling: dense) must train and evaluate end-to-end through the
+    CLI — the train/evaluate CLIs read the kNN degree from the
+    GRAPH_CONSTRUCTION section to size the receiver slots."""
+    from radargnn_tpu.cli.create_dataset import main as create_main
+    from radargnn_tpu.cli.train import main as train_main
+
+    dataset_root = _make_dataset_root(tmp_path, num_train=2, num_val=1)
+    results = str(tmp_path / "results")
+    os.makedirs(results)
+    fused_yaml = CONFIG_YAML.format(epochs=1).replace(
+        "        batch_norm_in_mlps: False",
+        "        batch_norm_in_mlps: False\n"
+        "        use_fused_aggregation: True\n"
+        "        fused_tiling: \"dense\"\n"
+        "        fused_overflow_fraction: 0.5\n"
+        "        assume_sorted_edges: True")
+    config_path = str(tmp_path / "config.yml")
+    with open(config_path, "w") as f:
+        f.write(fused_yaml)
+
+    create_main(dataset_root, config_path)
+    train_main(os.path.join(dataset_root, "processed"), results, config_path)
+    model_folder = os.path.join(results, "model_01")
+    assert os.path.exists(os.path.join(model_folder,
+                                       "trained_model.msgpack"))
+
+    from radargnn_tpu.cli.evaluate import main as evaluate_main
+    evaluate_main(dataset_root, model_folder, config_path)
+    eval_folder = os.path.join(model_folder, "evaluation_01")
+    with open(os.path.join(eval_folder, "eval_results.json")) as f:
+        results_json = json.load(f)
+    assert "mAP" in results_json["OBJECT_DETECTION_METRICS"]

@@ -292,3 +292,19 @@ def test_fused_csr_tiling_from_config():
                                    fused_run_cap=4)
     assert fused_csr_tiling(capped) == (
         FUSED_NODE_BLOCK, FUSED_EDGE_TILE, FUSED_WINDOW_BLOCKS, 0.03, 4)
+
+    # dense (v4) mode needs the graph's kNN degree; slots = k + extra
+    import pytest as _pytest
+
+    from radargnn_tpu.models.layers import (
+        FUSED_DENSE_EXTRA_SLOTS, FUSED_DENSE_R_TILE,
+    )
+    dense = GNNArchitectureConfig(**base, use_fused_aggregation=True,
+                                  fused_tiling="dense",
+                                  fused_overflow_fraction=0.08)
+    with _pytest.raises(ValueError):
+        fused_csr_tiling(dense)
+    assert fused_csr_tiling(dense, k=20) == {
+        "mode": "dense", "node_block": FUSED_NODE_BLOCK,
+        "r_tile": FUSED_DENSE_R_TILE, "k": 20 + FUSED_DENSE_EXTRA_SLOTS,
+        "window_blocks": FUSED_WINDOW_BLOCKS, "ovf_frac": 0.08}
