@@ -81,18 +81,21 @@ FUSED = os.environ.get("BENCH_FUSED", "1") == "1"
 # 0 falls back to the v2 CSR tiling
 WINDOWS = os.environ.get("BENCH_WINDOWS", "1") == "1"
 # tiling family: "dense" (v4 fixed-degree kNN kernels — no landing matmul,
-# no backward one-hot gathers), "windowed" (v3), or "csr" (v2, same as
-# BENCH_WINDOWS=0). Overrides BENCH_WINDOWS when set.
+# no backward one-hot gathers; the DEFAULT since r4: 10.31M vs the
+# windowed strict path, and its strict routing is exact by construction),
+# "windowed" (v3), or "csr" (v2, same as BENCH_WINDOWS=0). Overrides
+# BENCH_WINDOWS when set.
 TILING = os.environ.get("BENCH_TILING",
-                        "windowed" if WINDOWS else "csr")
+                        "dense" if WINDOWS else "csr")
 # overflow budget: 3% fits the flagship clouds' window overflow (~2.9%)
 # for contiguous CSR runs; spread tiling (run_cap) pushes frame 3 of the
-# bench clouds to 2055 overflow edges (> the 2048 slots of 3%), so the
-# default pairs run_cap=4 with 4%. Dense tiling adds the over-degree spill
-# (~2.4% at +4 slots) on top of its window overflow → 8% default.
+# bench clouds to 2055 overflow edges (> the 2048 slots of 3%), so
+# windowed pairs run_cap=4 with 4%. Dense tiling adds the over-degree
+# spill (~2.4% at +4 slots) on top of its window overflow (measured 5.1%
+# total at the flagship clouds) → 8% budget.
 OVF_FRAC = float(os.environ.get(
     "BENCH_OVF_FRAC",
-    "0.08" if os.environ.get("BENCH_TILING") == "dense"
+    "0.08" if TILING == "dense"
     else "0.04" if os.environ.get("BENCH_RUN_CAP", "4") != "0"
     else "0.03"))
 # spread-tiling run cap (0 = contiguous CSR runs); see

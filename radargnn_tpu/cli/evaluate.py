@@ -59,10 +59,11 @@ def main(path_to_data: str, path_to_model_folder: str,
     model_config = UserConfigurationReader.get_config_object(
         "MODEL_ARCHITECTURE", config_dict)
     graph_k = None
-    if getattr(model_config, "fused_tiling", None) == "dense":
+    if getattr(model_config, "fused_tiling", None) in ("dense", "auto"):
         graph_config = UserConfigurationReader.get_config_object(
             "GRAPH_CONSTRUCTION", config_dict)
-        graph_k = graph_config.k
+        if graph_config.graph_construction_algorithm == "knn":
+            graph_k = graph_config.k
     csr_tiling = fused_csr_tiling(model_config, k=graph_k)
 
     eval_loaders, _ = get_data_loaders(

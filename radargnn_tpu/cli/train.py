@@ -57,14 +57,20 @@ def main(path_to_graph_data: str, path_to_results: str,
     print(">>> loading data")
     from radargnn_tpu.models.layers import fused_csr_tiling
     graph_k = None
-    if getattr(model_config, "fused_tiling", None) == "dense":
+    tiling_mode = getattr(model_config, "fused_tiling", None)
+    if tiling_mode in ("dense", "auto"):
         graph_config = UserConfigurationReader.get_config_object(
             "GRAPH_CONSTRUCTION", config_dict)
-        if graph_config.graph_construction_algorithm != "knn":
+        is_knn = graph_config.graph_construction_algorithm == "knn"
+        if tiling_mode == "dense" and not is_knn:
             raise SystemExit('fused_tiling "dense" requires a kNN graph '
                              "(fixed in-degree); use windowed tiling for "
                              "radius graphs")
-        graph_k = graph_config.k
+        # "auto" resolves to dense for kNN graphs — except under halo
+        # edge partitioning, which runs the windowed kernels per shard
+        uses_halo = mesh is not None and mesh.shape.get("model", 1) > 1
+        if is_knn and not uses_halo:
+            graph_k = graph_config.k
     csr_tiling = fused_csr_tiling(model_config, k=graph_k)
     # edge partitioning over the mesh 'model' axis: the loader builds
     # per-graph halo plans and the trainer routes conv aggregation

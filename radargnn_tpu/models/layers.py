@@ -66,12 +66,17 @@ def fused_csr_tiling(model_config, k=None):
     """Loader `csr_tiling` spec for a GNNArchitectureConfig, or None when
     the fused path is off. Single source of truth for CLI / benchmarks.
 
-    `fused_tiling: "dense"` (kNN graphs only) needs the graph's fixed
-    in-degree `k` (GraphConstructionConfiguration.k) and returns the dense
-    tiling dict; the tuple modes ignore `k`."""
+    `fused_tiling: "dense"` (kNN graphs only) needs the graph's kNN degree
+    `k` (GraphConstructionConfiguration.k) and returns the dense tiling
+    dict; the tuple modes ignore `k`. `"auto"` resolves to dense when `k`
+    is given (kNN graph, no halo partitioning — callers pass k=None to
+    force windowed) and to windowed otherwise."""
     if not getattr(model_config, "use_fused_aggregation", False):
         return None
-    if getattr(model_config, "fused_tiling", "windowed") == "dense":
+    mode = getattr(model_config, "fused_tiling", "windowed")
+    if mode == "auto":
+        mode = "dense" if k is not None else "windowed"
+    if mode == "dense":
         if k is None:
             raise ValueError('fused_tiling "dense" needs the kNN degree k '
                              "(graph_construction.k); pass it to "
@@ -83,7 +88,7 @@ def fused_csr_tiling(model_config, k=None):
                 "ovf_frac": getattr(model_config,
                                     "fused_overflow_fraction", 0.05)}
     tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
-    if getattr(model_config, "fused_tiling", "windowed") == "windowed":
+    if mode == "windowed":
         tiling = tiling + (
             FUSED_WINDOW_BLOCKS,
             getattr(model_config, "fused_overflow_fraction", 0.05))
