@@ -2186,7 +2186,10 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     xw = jnp.concatenate([p[:] for p in x_parts], axis=0)      # [W, d_in]
     sloc2d = sloc_ref[pl.ds(t, 1), :]                           # [1, TE]
     if precomp_eq:
-        eq_s = eqs_ref[:]
+        # int8-streamed one-hot (r4 trace: the [TE,W] bf16 eq stream's DMA
+        # binds the narrow layers' kernels at 1.18 MB/tile ×10 consumers);
+        # the in-kernel widening cast trades VPU for half the DMA
+        eq_s = eqs_ref[:].astype(xw.dtype)
     else:
         eq_s = _window_eq(sloc2d, r_tile * k, xw.shape[0], xw.dtype)
     x_g = jnp.dot(eq_s, xw,
@@ -2243,7 +2246,7 @@ def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     cd = grad_dtype
     sloc2d = sloc_ref[pl.ds(t, 1), :]
     if precomp_eq:
-        eq_s = eqs_ref[:]
+        eq_s = eqs_ref[:].astype(cd)
     else:
         eq_s = _window_eq(sloc2d, r_tile * k, wb * node_block, cd)
     x_g = xg_ref[:]                                             # [TE, d_in]
@@ -2457,12 +2460,16 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
     gather_dtype = jnp.bfloat16 if not interpret else jnp.float32
     nb_pad = -(-num_nodes // node_block) * node_block
     w_width = window_blocks * node_block
+    # the dense kernels stream the one-hot as int8 and widen in-kernel —
+    # half the DMA of the v3 bf16 stream (the binding cost of the narrow
+    # layers' kernels, r4 trace); interpret mode keeps f32 exactness
+    eq_dtype = jnp.int8 if not interpret else jnp.float32
 
     def _eq_m(senders_local):
         if not precomp_eq:
             return None
         cols = jnp.arange(w_width, dtype=jnp.int32)
-        return (senders_local[:, None] == cols[None, :]).astype(gather_dtype)
+        return (senders_local[:, None] == cols[None, :]).astype(eq_dtype)
 
     def _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask):
         cd = gather_dtype
