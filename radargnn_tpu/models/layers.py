@@ -81,12 +81,15 @@ def fused_csr_tiling(model_config, k=None):
             raise ValueError('fused_tiling "dense" needs the kNN degree k '
                              "(graph_construction.k); pass it to "
                              "fused_csr_tiling")
+        # dense overflow carries the over-degree spill (~2.5% at +4 slots)
+        # ON TOP of the window overflow the config fraction budgets for,
+        # so pad the configured fraction rather than reuse it verbatim
         return {"mode": "dense", "node_block": FUSED_NODE_BLOCK,
                 "r_tile": FUSED_DENSE_R_TILE,
                 "k": int(k) + FUSED_DENSE_EXTRA_SLOTS,
                 "window_blocks": FUSED_WINDOW_BLOCKS,
                 "ovf_frac": getattr(model_config,
-                                    "fused_overflow_fraction", 0.05)}
+                                    "fused_overflow_fraction", 0.05) + 0.03}
     tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
     if mode == "windowed":
         tiling = tiling + (

@@ -304,7 +304,8 @@ def test_fused_csr_tiling_from_config():
                                   fused_overflow_fraction=0.08)
     with _pytest.raises(ValueError):
         fused_csr_tiling(dense)
+    # dense pads the configured fraction by the over-degree spill (+0.03)
     assert fused_csr_tiling(dense, k=20) == {
         "mode": "dense", "node_block": FUSED_NODE_BLOCK,
         "r_tile": FUSED_DENSE_R_TILE, "k": 20 + FUSED_DENSE_EXTRA_SLOTS,
-        "window_blocks": FUSED_WINDOW_BLOCKS, "ovf_frac": 0.08}
+        "window_blocks": FUSED_WINDOW_BLOCKS, "ovf_frac": 0.08 + 0.03}
