@@ -21,10 +21,11 @@ MLPs → ≈ 23 TFLOP/s / 3.3 MFLOP ≈ 7e6 edges/s. `vs_baseline` is
 edges_per_s / 7e6 (target ≥ 5).
 
 The MFU-based statement that supersedes that derived anchor
-(docs/ROOFLINE.md): at 9.87M edges/s the chip executes ≈32.6 TFLOP/s of
-model FLOPs ≈ 16.5% model-MFU on a v5e; the measured MXU floor of this
-kernel family is ≈15M edges/s, and the fused kernels run 7.3× the unfused
-XLA formulation measured on the SAME chip — `vs_baseline` is kept only
+(docs/ROOFLINE.md r4): the default measures the dense fixed-degree (v4)
+kNN kernels with exact strict routing — 10.98M edges/s ≈ 18.3%
+model-MFU on a v5e; the dense family's kernel MXU floor puts its ceiling
+at ≈25M edges/s, and the fused kernels run ~8.1× the unfused XLA
+formulation measured on the SAME chip — `vs_baseline` is kept only
 because the driver schema requires a single scalar against the derived
 cross-hardware proxy.
 
