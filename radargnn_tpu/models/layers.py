@@ -34,8 +34,9 @@ FUSED_EDGE_TILE = int(_os.environ.get("RADARGNN_FUSED_EDGE_TILE", 512))
 # loader builds the matching tiling when given a 3-tuple csr_tiling
 FUSED_WINDOW_BLOCKS = int(_os.environ.get("RADARGNN_FUSED_WINDOW_BLOCKS", 3))
 # receivers per tile for the dense fixed-degree (v4) kernels (tile covers
-# R_TILE*k edge slots); max_nodes must be divisible by it
-FUSED_DENSE_R_TILE = int(_os.environ.get("RADARGNN_FUSED_DENSE_R_TILE", 32))
+# R_TILE*k edge slots); max_nodes must be divisible by it. 64 measured
+# +0.9% over 32 at the flagship shape (fewer, larger tiles)
+FUSED_DENSE_R_TILE = int(_os.environ.get("RADARGNN_FUSED_DENSE_R_TILE", 64))
 # in-edge SLOTS per receiver for the dense kernels, as a delta over the
 # graph's kNN k: the reference aggregates at the kNN target side so
 # in-degree is variable (flagship mean 20 / p90 26); +4 slots keeps the
