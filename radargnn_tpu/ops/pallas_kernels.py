@@ -2179,8 +2179,12 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     if precomp_eq:
         eqs_ref = refs[i]
         i += 1
-    o_ref = refs[i]
-    i += 1
+    # overflow-path aggregate + hoisted receiver offset, combined in the
+    # kernel epilogue (saves the per-layer [N,H] XLA combine round trips)
+    inner_o_ref, offset_ref = refs[i:i + 2]
+    i += 2
+    out_ref, inner_ref = refs[i:i + 2]
+    i += 2
 
     t = pl.program_id(0)
     xw = jnp.concatenate([p[:] for p in x_parts], axis=0)      # [W, d_in]
@@ -2207,7 +2211,10 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     acc = op[0:r_tile]
     for jj in range(1, k):
         acc = jnp.maximum(acc, op[jj * r_tile:(jj + 1) * r_tile])
-    o_ref[:] = acc
+    inner = jnp.maximum(acc, inner_o_ref[:])
+    inner_ref[:] = inner
+    has = inner > _NEG / 2
+    out_ref[:] = jnp.where(has, offset_ref[:] + inner, 0.0)
 
 
 def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
@@ -2289,8 +2296,8 @@ def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
 
 
 def _fused_fwd_call_v4(x_c, w_s, e_t, w_e, senders_local, tile_win,
-                       num_nodes, k, r_tile, node_block, window_blocks,
-                       interpret, save_xg=False, eq_m=None):
+                       inner_ovf, offset, num_nodes, k, r_tile, node_block,
+                       window_blocks, interpret, save_xg=False, eq_m=None):
     n_pad_in, d_in = x_c.shape
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -2324,9 +2331,19 @@ def _fused_fwd_call_v4(x_c, w_s, e_t, w_e, senders_local, tile_win,
         in_specs.append(pl.BlockSpec((te, w_width), lambda i, tw: (i, 0),
                                      memory_space=pltpu.VMEM))
         inputs.append(eq_m)
+    in_specs += [
+        pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs += [inner_ovf, offset]
     out_specs = [pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((num_nodes, h), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
+                 jax.ShapeDtypeStruct((num_nodes, h), jnp.float32)]
     if save_xg:
         out_specs.append(pl.BlockSpec((te, d_in), lambda i, tw: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -2335,18 +2352,16 @@ def _fused_fwd_call_v4(x_c, w_s, e_t, w_e, senders_local, tile_win,
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=in_specs,
-        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
+        out_specs=tuple(out_specs),
     )
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel_v4, r_tile=r_tile, k=k,
                           window_blocks=window_blocks, save_xg=save_xg,
                           precomp_eq=eq_m is not None),
-        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
+        out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*inputs)
-    if len(out_shape) == 1:
-        return (out,)
     return tuple(out)
 
 
@@ -2483,41 +2498,42 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
                  ovf_s, ovf_r, for_vjp=False):
         x_c = x.astype(gather_dtype)
-        res = _fused_fwd_call_v4(
-            x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
-            w_e.astype(gather_dtype), senders_local, tile_win, num_nodes,
-            k, r_tile, node_block, window_blocks, interpret,
-            save_xg=for_vjp, eq_m=_eq_m(senders_local))
-        inner_win = res[0]
-        stream = res[1] if for_vjp else None
+        # overflow aggregate FIRST (small XLA segment-max over the fixed
+        # budget); the kernel epilogue combines it with the dense max and
+        # applies offset/empty-handling — no per-layer [N,H] XLA combine
         ovf_mask = ovf_r >= 0
         ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
         inner_o = jax.ops.segment_max(op_o, ovf_r_c,
                                       num_segments=num_nodes)
-        inner = jnp.maximum(inner_win, inner_o)
-        has = inner > _NEG / 2
-        out = jnp.where(has, offset + inner, 0.0)
-        return out, inner, has, stream
+        res = _fused_fwd_call_v4(
+            x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
+            w_e.astype(gather_dtype), senders_local, tile_win, inner_o,
+            offset, num_nodes, k, r_tile, node_block, window_blocks,
+            interpret, save_xg=for_vjp, eq_m=_eq_m(senders_local))
+        out, inner = res[0], res[1]
+        stream = res[2] if for_vjp else None
+        return out, inner, stream
 
     @jax.custom_vjp
     def fused(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
               part_mask, ovf_s, ovf_r):
-        out, _, _, _ = _forward(x, w_s, e_t, w_e, offset, e_ovf, tile_win,
-                                senders_local, ovf_s, ovf_r)
+        out, _, _ = _forward(x, w_s, e_t, w_e, offset, e_ovf, tile_win,
+                             senders_local, ovf_s, ovf_r)
         return out
 
     def fwd(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
             part_mask, ovf_s, ovf_r):
-        out, inner, has, stream = _forward(
+        out, inner, stream = _forward(
             x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
             ovf_s, ovf_r, for_vjp=True)
         return out, (x, w_s, e_t, w_e, e_ovf, tile_win, senders_local,
-                     part_mask, ovf_s, ovf_r, inner, has, stream)
+                     part_mask, ovf_s, ovf_r, inner, stream)
 
     def bwd(res, g):
         (x, w_s, e_t, w_e, e_ovf, tile_win, senders_local, part_mask,
-         ovf_s, ovf_r, inner, has, stream) = res
+         ovf_s, ovf_r, inner, stream) = res
+        has = inner > _NEG / 2
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
         d_e_t, d_ws, d_we, parts = _fused_bwd_call_v4(
