@@ -2170,7 +2170,7 @@ def prepare_dense_knn_tiles(senders: np.ndarray, receivers: np.ndarray,
 
 def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
                          window_blocks: int, save_xg: bool,
-                         precomp_eq: bool):
+                         precomp_eq: bool, emit_inner: bool):
     i = window_blocks
     x_parts = refs[:i]
     ws_ref, e_ref, we_ref, sloc_ref = refs[i:i + 4]
@@ -2183,8 +2183,14 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     # kernel epilogue (saves the per-layer [N,H] XLA combine round trips)
     inner_o_ref, offset_ref = refs[i:i + 2]
     i += 2
-    out_ref, inner_ref = refs[i:i + 2]
-    i += 2
+    out_ref = refs[i]
+    i += 1
+    inner_ref = None
+    if emit_inner:
+        # the VJP path saves the combined maxima for backward routing;
+        # the no-grad (serving) path skips this [N,H] write entirely
+        inner_ref = refs[i]
+        i += 1
 
     t = pl.program_id(0)
     xw = jnp.concatenate([p[:] for p in x_parts], axis=0)      # [W, d_in]
@@ -2212,7 +2218,8 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     for jj in range(1, k):
         acc = jnp.maximum(acc, op[jj * r_tile:(jj + 1) * r_tile])
     inner = jnp.maximum(acc, inner_o_ref[:])
-    inner_ref[:] = inner
+    if inner_ref is not None:
+        inner_ref[:] = inner
     has = inner > _NEG / 2
     out_ref[:] = jnp.where(has, offset_ref[:] + inner, 0.0)
 
@@ -2339,11 +2346,13 @@ def _fused_fwd_call_v4(x_c, w_s, e_t, w_e, senders_local, tile_win,
     ]
     inputs += [inner_ovf, offset]
     out_specs = [pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
                               memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((num_nodes, h), jnp.float32),
-                 jax.ShapeDtypeStruct((num_nodes, h), jnp.float32)]
+    out_shape = [jax.ShapeDtypeStruct((num_nodes, h), jnp.float32)]
+    emit_inner = save_xg         # only the VJP path needs the maxima back
+    if emit_inner:
+        out_specs.append(pl.BlockSpec((r_tile, h), lambda i, tw: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((num_nodes, h), jnp.float32))
     if save_xg:
         out_specs.append(pl.BlockSpec((te, d_in), lambda i, tw: (i, 0),
                                       memory_space=pltpu.VMEM))
@@ -2352,16 +2361,19 @@ def _fused_fwd_call_v4(x_c, w_s, e_t, w_e, senders_local, tile_win,
         num_scalar_prefetch=1,
         grid=(t,),
         in_specs=in_specs,
-        out_specs=tuple(out_specs),
+        out_specs=tuple(out_specs) if len(out_specs) > 1 else out_specs[0],
     )
     out = pl.pallas_call(
         functools.partial(_fused_fwd_kernel_v4, r_tile=r_tile, k=k,
                           window_blocks=window_blocks, save_xg=save_xg,
-                          precomp_eq=eq_m is not None),
-        out_shape=tuple(out_shape),
+                          precomp_eq=eq_m is not None,
+                          emit_inner=emit_inner),
+        out_shape=tuple(out_shape) if len(out_shape) > 1 else out_shape[0],
         grid_spec=grid_spec,
         interpret=interpret,
     )(*inputs)
+    if len(out_shape) == 1:
+        return (out,)
     return tuple(out)
 
 
@@ -2511,8 +2523,10 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
             w_e.astype(gather_dtype), senders_local, tile_win, inner_o,
             offset, num_nodes, k, r_tile, node_block, window_blocks,
             interpret, save_xg=for_vjp, eq_m=_eq_m(senders_local))
-        out, inner = res[0], res[1]
-        stream = res[2] if for_vjp else None
+        if for_vjp:
+            out, inner, stream = res
+        else:
+            out, inner, stream = res[0], None, None
         return out, inner, stream
 
     @jax.custom_vjp
