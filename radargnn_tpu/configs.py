@@ -225,9 +225,11 @@ class GNNArchitectureConfig:
     # Tiling flavor for the fused path: "windowed" (v3 Morton-windowed
     # kernels, the general default — required for radius graphs and halo
     # partitioning), "dense" (v4 fixed-degree kernels — kNN graphs only:
-    # exactly k in-edge slots per receiver, aggregation by static-slice max
-    # instead of a landing one-hot matmul; the fastest kNN path), or "csr"
-    # (v2 sender-sorted backward).
+    # k+4 in-edge slots per receiver, aggregation by static-slice max
+    # instead of a landing one-hot matmul; the fastest kNN path, r4:
+    # 11.15M vs the corrected windowed-strict 5.85M edges/s), "auto"
+    # (dense for kNN graphs, windowed otherwise/under halo partitioning),
+    # or "csr" (v2 sender-sorted backward).
     fused_tiling: str = "windowed"
     # Static overflow-edge budget fraction for the windowed tiling; raise if
     # the loader reports "window overflow ... exceeds budget".
