@@ -309,3 +309,28 @@ def test_fused_csr_tiling_from_config():
         "mode": "dense", "node_block": FUSED_NODE_BLOCK,
         "r_tile": FUSED_DENSE_R_TILE, "k": 20 + FUSED_DENSE_EXTRA_SLOTS,
         "window_blocks": FUSED_WINDOW_BLOCKS, "ovf_frac": 0.08 + 0.03}
+
+
+def test_fused_csr_tiling_auto_mode():
+    """'auto' resolves to dense when the kNN degree is supplied and to the
+    windowed tuple when it is not (radius graphs / halo partitioning pass
+    k=None)."""
+    from radargnn_tpu.configs import GNNArchitectureConfig
+    from radargnn_tpu.models.layers import (
+        FUSED_DENSE_EXTRA_SLOTS, FUSED_EDGE_TILE, FUSED_NODE_BLOCK,
+        FUSED_WINDOW_BLOCKS, fused_csr_tiling,
+    )
+
+    base = dict(node_feature_dimension=4, edge_feature_dimension=2,
+                conv_layer_dimensions=[8],
+                classification_head_layer_dimensions=[6],
+                regression_head_layer_dimensions=[5])
+    auto = GNNArchitectureConfig(**base, use_fused_aggregation=True,
+                                 fused_tiling="auto",
+                                 fused_overflow_fraction=0.05)
+    dense = fused_csr_tiling(auto, k=20)
+    assert isinstance(dense, dict) and dense["mode"] == "dense"
+    assert dense["k"] == 20 + FUSED_DENSE_EXTRA_SLOTS
+    windowed = fused_csr_tiling(auto, k=None)
+    assert windowed == (FUSED_NODE_BLOCK, FUSED_EDGE_TILE,
+                        FUSED_WINDOW_BLOCKS, 0.05, 4)
