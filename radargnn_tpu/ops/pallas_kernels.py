@@ -1838,11 +1838,18 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
             eq_land=_eq_land(recv_t, tile_blocks))
         inner_win = res[0]
         stream = res[1] if for_vjp else None
+        # overflow receivers arrive sorted per graph with -1 padding at
+        # each graph's tail; cummax keeps the index vector globally sorted
+        # (padding inherits the last valid receiver — its _NEG rows never
+        # win a max) so segment_max takes the sorted lowering (+2.9%
+        # measured on the dense path, r4)
         ovf_mask = ovf_r >= 0
-        ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
+        ovf_r_c = jnp.maximum(
+            jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
         inner_o = jax.ops.segment_max(op_o, ovf_r_c,
-                                      num_segments=num_nodes)
+                                      num_segments=num_nodes,
+                                      indices_are_sorted=True)
         # segment_max fills empty segments with -inf; combine with window
         inner = jnp.maximum(inner_win, inner_o)
         has = inner > _NEG / 2
@@ -2512,12 +2519,19 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
         x_c = x.astype(gather_dtype)
         # overflow aggregate FIRST (small XLA segment-max over the fixed
         # budget); the kernel epilogue combines it with the dense max and
-        # applies offset/empty-handling — no per-layer [N,H] XLA combine
+        # applies offset/empty-handling — no per-layer [N,H] XLA combine.
+        # The tiler emits overflow receiver-SORTED per graph with -1
+        # padding at each graph's tail; a running cummax maps padding onto
+        # the last valid receiver (masked rows carry _NEG, which never
+        # wins a max), keeping the index vector globally sorted so
+        # segment_max takes the sorted lowering instead of a scatter
         ovf_mask = ovf_r >= 0
-        ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
+        ovf_r_c = jnp.maximum(
+            jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
         inner_o = jax.ops.segment_max(op_o, ovf_r_c,
-                                      num_segments=num_nodes)
+                                      num_segments=num_nodes,
+                                      indices_are_sorted=True)
         res = _fused_fwd_call_v4(
             x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype), senders_local, tile_win, inner_o,
