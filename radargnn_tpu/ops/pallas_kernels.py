@@ -1920,6 +1920,10 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                 jnp.abs(op_o - inner_z[ovf_r_c])
                 <= 1e-5 * jnp.abs(inner_z[ovf_r_c]) + 1e-5)
         d_op_o = jnp.where(sel_o, g_pass[ovf_r_c], 0.0)
+        # NOTE (measured r4): device-argsorting the overflow senders to use
+        # the sorted segment_sum lowering here ran 3.9% SLOWER end-to-end
+        # (11.03M vs 11.48M) — the per-step argsort + [Eovf, d] gather cost
+        # more than the unsorted scatter saves. Keep the plain scatter.
         d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
                                         num_segments=num_nodes)
         d_ws = d_ws + x[ovf_s].T @ d_op_o
@@ -2589,6 +2593,10 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
                 jnp.abs(op_o - inner_z[ovf_r_c])
                 <= 1e-5 * jnp.abs(inner_z[ovf_r_c]) + 1e-5)
         d_op_o = jnp.where(sel_o, g_pass[ovf_r_c], 0.0)
+        # NOTE (measured r4): device-argsorting the overflow senders to use
+        # the sorted segment_sum lowering here ran 3.9% SLOWER end-to-end
+        # (11.03M vs 11.48M) — the per-step argsort + [Eovf, d] gather cost
+        # more than the unsorted scatter saves. Keep the plain scatter.
         d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
                                         num_segments=num_nodes)
         d_ws = d_ws + x[ovf_s].T @ d_op_o
