@@ -1701,8 +1701,14 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
                                     sender_dx: bool = False,
                                     bf16_landing: bool = False,
                                     precomp_land: bool = False,
-                                    precomp_eqT: bool = False):
+                                    precomp_eqT: bool = False,
+                                    ovf_sorted: bool = True):
     """Windowed fused max-aggregation (see module section comment).
+
+    `ovf_sorted`: the single-chip tilers emit receiver-sorted overflow
+    (with -1 padding at each graph's tail), enabling the sorted
+    segment_max lowering; the HALO plans' per-shard overflow is NOT
+    receiver-sorted in augmented-index space — pass False there.
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks, tile_win,
           senders_local, part_mask, ovf_senders, ovf_receivers)
@@ -1839,17 +1845,20 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
         inner_win = res[0]
         stream = res[1] if for_vjp else None
         # overflow receivers arrive sorted per graph with -1 padding at
-        # each graph's tail; cummax keeps the index vector globally sorted
-        # (padding inherits the last valid receiver — its _NEG rows never
-        # win a max) so segment_max takes the sorted lowering (+2.9%
-        # measured on the dense path, r4)
+        # each graph's tail (single-chip tilers); cummax keeps the index
+        # vector globally sorted (padding inherits the last valid receiver
+        # — its _NEG rows never win a max) so segment_max takes the sorted
+        # lowering (+2.9% measured on the dense path, r4)
         ovf_mask = ovf_r >= 0
-        ovf_r_c = jnp.maximum(
-            jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
+        if ovf_sorted:
+            ovf_r_c = jnp.maximum(
+                jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
+        else:
+            ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
         inner_o = jax.ops.segment_max(op_o, ovf_r_c,
                                       num_segments=num_nodes,
-                                      indices_are_sorted=True)
+                                      indices_are_sorted=ovf_sorted)
         # segment_max fills empty segments with -inf; combine with window
         inner = jnp.maximum(inner_win, inner_o)
         has = inner > _NEG / 2

@@ -265,7 +265,7 @@ def halo_windowed_hoisted_max_batched(x: jnp.ndarray, w_s: jnp.ndarray,
 
     fused = make_fused_hoisted_aggregate_v3(
         gl * n_aug, node_block, edge_tile, window_blocks,
-        roll_passes=roll_passes, bf16_max=bf16_max)
+        roll_passes=roll_passes, bf16_max=bf16_max, ovf_sorted=False)
 
     plan_arrays = (bundle.send_idx, bundle.e_t, bundle.e_ovf, bundle.recv_t,
                    bundle.tile_blocks, bundle.tile_win, bundle.sloc,
@@ -347,7 +347,7 @@ def halo_windowed_hoisted_max(x: jnp.ndarray, w_s: jnp.ndarray,
 
     fused = make_fused_hoisted_aggregate_v3(
         plan.n_aug, plan.node_block, plan.edge_tile, plan.window_blocks,
-        roll_passes=plan.roll_passes)
+        roll_passes=plan.roll_passes, ovf_sorted=False)
 
     sharded = (jnp.asarray(hp.send_idx), e_t, e_ovf,
                jnp.asarray(plan.recv_t), jnp.asarray(plan.tile_blocks),
