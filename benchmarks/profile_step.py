@@ -73,9 +73,12 @@ def main():
             FUSED_DENSE_EXTRA_SLOTS, FUSED_DENSE_R_TILE, FUSED_EDGE_TILE,
             FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
+        # default mirrors bench.py's TILING logic (dense since r4) so an
+        # unconfigured profile run traces the same kernel family as the
+        # driver headline; BENCH_TILING=windowed/csr for the other families
         mode = os.environ.get(
             "BENCH_TILING",
-            "windowed" if os.environ.get("BENCH_WINDOWS", "1") == "1"
+            "dense" if os.environ.get("BENCH_WINDOWS", "1") == "1"
             else "csr")
         if mode == "dense":
             tiling = {"mode": "dense", "node_block": FUSED_NODE_BLOCK,
@@ -83,7 +86,7 @@ def main():
                       "k": k + FUSED_DENSE_EXTRA_SLOTS,
                       "window_blocks": FUSED_WINDOW_BLOCKS,
                       "ovf_frac": float(os.environ.get("BENCH_OVF_FRAC",
-                                                       "0.08"))}
+                                                       "0.06"))}
         else:
             tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
             if mode == "windowed":

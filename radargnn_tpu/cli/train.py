@@ -27,12 +27,12 @@ def halo_partition_from_configs(model_config, mesh,
     if csr_tiling is None:
         from radargnn_tpu.models.layers import fused_csr_tiling
         csr_tiling = fused_csr_tiling(model_config)
-    if csr_tiling is None or isinstance(csr_tiling, dict) \
-            or len(csr_tiling) < 3:
+    if csr_tiling is None or (not isinstance(csr_tiling, dict)
+                              and len(csr_tiling) < 3):
         raise SystemExit(
             "mesh_axes with model>1 requires use_fused_aggregation with "
-            "windowed tiling (the halo path runs the windowed kernels; "
-            "dense tiling is single-chip-per-shard only)")
+            "windowed or dense tiling (the halo path runs the fused "
+            "kernels per shard)")
     return {"dp": mesh.shape.get("data", 1),
             "mp": mesh.shape["model"],
             "ovf_frac": getattr(model_config, "halo_overflow_fraction", 0.5)}
@@ -66,12 +66,21 @@ def main(path_to_graph_data: str, path_to_results: str,
             raise SystemExit('fused_tiling "dense" requires a kNN graph '
                              "(fixed in-degree); use windowed tiling for "
                              "radius graphs")
-        # "auto" resolves to dense for kNN graphs — except under halo
-        # edge partitioning, which runs the windowed kernels per shard
-        uses_halo = mesh is not None and mesh.shape.get("model", 1) > 1
-        if is_knn and not uses_halo:
+        # "auto" resolves to dense for kNN graphs — including under halo
+        # edge partitioning since r5 (parallel/halo_dense.py gives each
+        # shard its own dense slot layout; halo edges ride the overflow
+        # list), so multi-chip no longer pays the windowed-family penalty
+        if is_knn:
             graph_k = graph_config.k
     csr_tiling = fused_csr_tiling(model_config, k=graph_k)
+    if csr_tiling is None:
+        print(">>> fused aggregation: off (unfused XLA aggregation path)")
+    elif isinstance(csr_tiling, dict):
+        print(f">>> fused aggregation: dense (v4) kernels, "
+              f"{csr_tiling['k']} slots/receiver")
+    else:
+        print(f">>> fused aggregation: windowed (v3) kernels, "
+              f"tiling {csr_tiling}")
     # edge partitioning over the mesh 'model' axis: the loader builds
     # per-graph halo plans and the trainer routes conv aggregation
     # through the halo-windowed kernels (parallel/halo_windowed.py)

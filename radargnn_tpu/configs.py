@@ -219,18 +219,21 @@ class GNNArchitectureConfig:
     # stack_samples default layout) — enables the sorted-scatter fast path.
     # Must be False for hand-built unsorted edge lists.
     assume_sorted_edges: bool = False
-    # Use the fused Pallas max-aggregation kernel (requires CSR tiling in the
-    # batch — loader csr_tiling=(128, 256) — and pre_layers==1, aggr "max").
-    use_fused_aggregation: bool = False
-    # Tiling flavor for the fused path: "windowed" (v3 Morton-windowed
-    # kernels, the general default — required for radius graphs and halo
-    # partitioning), "dense" (v4 fixed-degree kernels — kNN graphs only:
-    # k+4 in-edge slots per receiver, aggregation by static-slice max
-    # instead of a landing one-hot matmul; the fastest kNN path, r4:
-    # 11.15M vs the corrected windowed-strict 5.85M edges/s), "auto"
-    # (dense for kNN graphs, windowed otherwise/under halo partitioning),
-    # or "csr" (v2 sender-sorted backward).
-    fused_tiling: str = "windowed"
+    # Use the fused Pallas max-aggregation kernels (requires CSR tiling in
+    # the batch — the CLI/loader build it automatically — and pre_layers==1,
+    # aggr "max"). Default None = AUTO: enabled exactly when those
+    # preconditions hold (resolved in __post_init__ with a log line on
+    # fallback), so a verbatim reference YAML gets the fast kernels.
+    # Set False to force the unfused XLA path.
+    use_fused_aggregation: Optional[bool] = None
+    # Tiling flavor for the fused path: "auto" (DEFAULT — dense for kNN
+    # graphs, windowed for radius graphs and under halo edge partitioning),
+    # "windowed" (v3 Morton-windowed kernels — required for radius graphs;
+    # the halo path composes with either family), "dense" (v4 fixed-degree
+    # kernels — kNN graphs only: k+4 in-edge slots per receiver,
+    # aggregation by static-slice max instead of a landing one-hot matmul;
+    # the fastest kNN path), or "csr" (v2 sender-sorted backward).
+    fused_tiling: str = "auto"
     # Static overflow-edge budget fraction for the windowed tiling; raise if
     # the loader reports "window overflow ... exceeds budget".
     fused_overflow_fraction: float = 0.05
@@ -266,6 +269,26 @@ class GNNArchitectureConfig:
     # Too small → build_halo_windowed_plan raises at plan build with the
     # required size; too large only wastes overflow-path padding.
     halo_overflow_fraction: float = 0.5
+
+    def __post_init__(self):
+        # Resolve the AUTO fused-aggregation default: the fused kernel
+        # families accelerate exactly the hoisted configuration (single
+        # linear pre-MLP + max aggregation — the reference's default,
+        # configuration_radarscenes.yml). Anything else falls back to the
+        # unfused XLA path with a log line so the user knows why.
+        if self.use_fused_aggregation is None:
+            ok = (self.conv_pre_mlp_layer_number == 1
+                  and self.aggregation_function == "max")
+            self.use_fused_aggregation = ok
+            if not ok:
+                import logging
+                logging.getLogger(__name__).info(
+                    "fused aggregation auto-disabled: requires "
+                    "conv_pre_mlp_layer_number == 1 and "
+                    "aggregation_function == 'max' (got %d, %r); "
+                    "running the unfused XLA aggregation path",
+                    self.conv_pre_mlp_layer_number,
+                    self.aggregation_function)
 
 
 @dataclass

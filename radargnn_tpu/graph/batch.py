@@ -360,9 +360,10 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
             run_cap = csr_tiling[4]
         csr_tiling = (node_block, edge_tile)
         sample = morton_sort_sample(sample)
-    if halo_partition is not None and window_blocks is None:
-        raise ValueError("halo_partition requires a windowed (3-tuple) "
-                         "csr_tiling for the kernel geometry")
+    if halo_partition is not None and window_blocks is None \
+            and dense_cfg is None:
+        raise ValueError("halo_partition requires a windowed (3-tuple) or "
+                         "dense (dict) csr_tiling for the kernel geometry")
 
     n, e = sample.num_nodes, sample.num_edges
     if n > max_nodes or e > max_edges:
@@ -409,7 +410,51 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         labels=labels, boxes=boxes,
         pos=pad_nodes(sample.pos), vel=pad_nodes(sample.vel),
     )
-    if dense_cfg is not None:
+    if dense_cfg is not None and halo_partition is not None:
+        # dense × halo composition (r4 verdict item 3): per-shard dense
+        # slot layouts over each shard's own nodes; halo edges ride the
+        # overflow list against augmented rows (parallel/halo_dense.py)
+        from radargnn_tpu.parallel.halo_dense import (
+            build_halo_dense_plan, plan_budgets_dense,
+        )
+        mp = halo_partition["mp"]
+        if max_nodes % mp:
+            raise ValueError(f"max_nodes {max_nodes} not divisible by "
+                             f"mp={mp} halo shards")
+        node_block = dense_cfg["node_block"]
+        r_tile = dense_cfg["r_tile"]
+        kslots = dense_cfg["k"]
+        wb = dense_cfg.get("window_blocks", 3)
+        plan = build_halo_dense_plan(
+            senders, receivers, max_nodes, mp, kslots, r_tile, node_block,
+            wb, edge_mask=edge_mask,
+            ovf_frac=halo_partition.get("ovf_frac", 0.5),
+            budgets=halo_partition.get("budgets"))
+        ef = out["edge_feat"]
+        e_t = np.where((plan.sloc >= 0)[..., None],
+                       ef[plan.tile_eperm], 0.0).astype(np.float32)
+        e_ovf = np.where((plan.ovf_r >= 0)[..., None],
+                         ef[plan.ovf_eperm], 0.0).astype(np.float32)
+        t = plan.n_aug // r_tile
+        tile_blocks = np.broadcast_to(
+            ((np.arange(t) * r_tile) // node_block).astype(np.int32),
+            (mp, t))
+        out.update(
+            halo_send_idx=plan.halo.send_idx, halo_e_t=e_t,
+            halo_e_ovf=e_ovf, halo_recv_t=plan.slot_recv,
+            halo_tile_blocks=np.ascontiguousarray(tile_blocks),
+            halo_tile_win=plan.tile_win, halo_sloc=plan.sloc,
+            halo_part_mask=plan.part_mask, halo_ovf_s=plan.ovf_s,
+            halo_ovf_r=plan.ovf_r)
+        # trailing ("dense", r_tile, k) marker: trainer reads dp/mp at
+        # [5]/[6]; halo_windowed.halo_hoisted_max_batched dispatches on it
+        out["_halo_geometry"] = (
+            plan.node_block, r_tile * kslots, plan.window_blocks,
+            plan.n_aug, -1, halo_partition.get("dp", 1), mp,
+            plan.halo.nodes_per_shard, plan.halo.send_idx.shape[-1],
+            "dense", r_tile, kslots)
+        out["_halo_budgets"] = plan_budgets_dense(plan)
+    elif dense_cfg is not None:
         from radargnn_tpu.ops.pallas_kernels import (
             prepare_dense_knn_tiles, window_part_mask,
         )
@@ -448,6 +493,12 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
             ovf_edge_feat=np.where(ovf_valid[:, None],
                                    out["edge_feat"][ovf_c], 0.0
                                    ).astype(np.float32))
+        # the dense kernels assume the sorted segment_max lowering —
+        # enforce the tiler's receiver-sorted overflow contract at plan
+        # build (host numpy; see pallas_kernels.check_overflow_sorted)
+        from radargnn_tpu.ops.pallas_kernels import check_overflow_sorted
+        check_overflow_sorted(out["ovf_receivers"],
+                              "prepare_dense_knn_tiles plan")
     elif halo_partition is not None:
         from radargnn_tpu.parallel.halo_windowed import (
             build_halo_windowed_plan, plan_budgets,
@@ -508,6 +559,11 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
             ovf_edge_feat=np.where(ovf_valid[:, None],
                                    out["edge_feat"][ovf_c], 0.0
                                    ).astype(np.float32))
+        # single-chip windowed kernels run with ovf_sorted=True — enforce
+        # the tiler's receiver-sorted overflow contract at plan build
+        from radargnn_tpu.ops.pallas_kernels import check_overflow_sorted
+        check_overflow_sorted(out["ovf_receivers"],
+                              "prepare_windowed_csr_tiles plan")
     elif csr_tiling is not None:
         from radargnn_tpu.ops.pallas_kernels import prepare_csr_tiles
         node_block, edge_tile = csr_tiling
@@ -600,7 +656,7 @@ def stack_samples(samples: List[GraphSample], max_nodes: int, bg_index: int,
         halo_geometry = geoms[0][:4] + (rp,) + geoms[0][5:]
     arrays = {k: np.stack([p[k] for p in padded])
               for k in padded[0] if not k.startswith("_")}
-    if isinstance(csr_tiling, dict):
+    if isinstance(csr_tiling, dict) and halo_partition is None:
         # dense fixed-degree (v4) geometry: edge_tile = r_tile*k slots,
         # trailing ("dense", r_tile, k) marker read by flat_tiling
         r_tile, kk = csr_tiling["r_tile"], csr_tiling["k"]

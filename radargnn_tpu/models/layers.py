@@ -215,7 +215,7 @@ class MPNNConv(_AggregationMixin, nn.Module):
                                  "configuration: single linear pre-MLP, max "
                                  "aggregation, no conv edge encoder")
             from radargnn_tpu.parallel.halo_windowed import (
-                halo_windowed_hoisted_max_batched,
+                halo_hoisted_max_batched,
             )
             pre_mlp_dim = 2 * in_channels + edge_attr.shape[-1]
             kernel, bias = PreMLPParams(pre_mlp_dim, pre_mlp_dim,
@@ -228,7 +228,7 @@ class MPNNConv(_AggregationMixin, nn.Module):
                           preferred_element_type=jnp.float32)
             bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
                 else _BF16_MAX_ENV == "1"
-            aggr = halo_windowed_hoisted_max_batched(
+            aggr = halo_hoisted_max_batched(
                 x, w_s, w_e.astype(jnp.float32), y_r + bias, halo, bf16_max)
             out = jnp.concatenate([x, aggr], axis=-1)
             post_sizes = [self.out_channels] * self.post_layers
@@ -324,7 +324,7 @@ class RadarPointGNNConv(_AggregationMixin, nn.Module):
                                  "configuration: single linear pre-MLP and "
                                  "max aggregation")
             from radargnn_tpu.parallel.halo_windowed import (
-                halo_windowed_hoisted_max_batched,
+                halo_hoisted_max_batched,
             )
             kernel, bias = PreMLPParams(pre_mlp_dim, pre_mlp_dim,
                                         name="pre_mlp")()
@@ -332,7 +332,7 @@ class RadarPointGNNConv(_AggregationMixin, nn.Module):
             offset = jnp.broadcast_to(bias, (num_nodes, pre_mlp_dim))
             bf16_max = self.bf16_max if _BF16_MAX_ENV is None \
                 else _BF16_MAX_ENV == "1"
-            aggr = halo_windowed_hoisted_max_batched(
+            aggr = halo_hoisted_max_batched(
                 x, w_s, w_e.astype(jnp.float32), offset, halo, bf16_max)
             out = jnp.concatenate([x, aggr], axis=-1)
             h = LinearReluStack([node_dim] * self.post_layers,

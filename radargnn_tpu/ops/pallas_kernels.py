@@ -45,9 +45,46 @@ _NEG = -3.0e38                       # finite -inf stand-in (python float)
 # SELECTED (landings, inner/g gathers), not to bf16-input compute dots.
 _SEL_PRECISION = jax.lax.Precision.HIGHEST
 
+# r5 experiment flag: the dense (v4) kernels' slot reduction/routing as a
+# [k, R, H] leading-dim reshape (one reduce / one broadcast compare)
+# instead of k-step slice loops + concatenate. Semantics identical.
+import os as _os  # noqa: E402
+
+_DENSE_RESHAPE = _os.environ.get("RADARGNN_DENSE_RESHAPE", "1") == "1"
+
 
 def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def check_overflow_sorted(ovf_r, where: str) -> None:
+    """Host-side guard for the sorted-overflow kernel contract.
+
+    Kernels built with the sorted segment_max lowering (`ovf_sorted=True`
+    in make_fused_hoisted_aggregate_v3; always in
+    make_fused_dense_aggregate) require the VALID overflow receivers
+    (entries >= 0) to be non-decreasing — then the cummax padding fill
+    keeps the whole index vector sorted. An unsorted vector silently
+    corrupts segment maxima ON THE CHIP only (CPU treats
+    `indices_are_sorted` as a hint and stays correct, so tests cannot
+    catch a violation — the r4 halo path shipped one). The loader tilers
+    (prepare_windowed_csr_tiles / prepare_dense_knn_tiles) emit sorted
+    overflow by construction; this check catches hand-built lists at the
+    eager call boundary (traced values inside jit are skipped — the plan
+    build in graph.batch.pad_sample asserts the same contract on host
+    numpy)."""
+    if isinstance(ovf_r, jax.core.Tracer):
+        return
+    r = np.asarray(ovf_r)
+    v = r[r >= 0]
+    if v.size > 1 and np.any(np.diff(v) < 0):
+        raise ValueError(
+            f"{where}: overflow receivers must be non-decreasing over "
+            "valid entries (the kernel was built for the sorted "
+            "segment_max lowering). Sort the overflow list by receiver, "
+            "or build the windowed aggregate with ovf_sorted=False (the "
+            "halo path's opt-out — its per-shard overflow is not "
+            "receiver-sorted in augmented-index space).")
 
 
 # ---------------------------------------------------------------------------
@@ -1830,6 +1867,8 @@ def make_fused_hoisted_aggregate_v3(num_nodes: int, node_block: int = 256,
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, recv_t, tile_blocks,
                  tile_win, senders_local, ovf_s, ovf_r, for_vjp=False):
+        if ovf_sorted:
+            check_overflow_sorted(ovf_r, "fused windowed aggregate (v3)")
         x_c = x.astype(gather_dtype)
         save_xg = for_vjp and not stream_m
         save_m = for_vjp and stream_m
@@ -2232,11 +2271,16 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
     # bool tpu.transpose (same pattern as the v3 kernels)
     validc = jnp.transpose(sloc2d) >= 0                         # [TE, 1]
     op = jnp.where(validc, op, _NEG)
-    # fixed-degree reduction: (k-1) static-slice maxima over the
-    # neighbor-major slots — no landing matmul, no roll loop
-    acc = op[0:r_tile]
-    for jj in range(1, k):
-        acc = jnp.maximum(acc, op[jj * r_tile:(jj + 1) * r_tile])
+    # fixed-degree reduction over the neighbor-major slots — no landing
+    # matmul, no roll loop. The leading-dim reshape is a row-view (slot
+    # j·R + r ↔ [j, r]); one reduce beats (k−1) sequential slice maxima
+    # (r5: the slice chain serialized on the VPU)
+    if _DENSE_RESHAPE:
+        acc = jnp.max(op.reshape(k, r_tile, op.shape[-1]), axis=0)
+    else:
+        acc = op[0:r_tile]
+        for jj in range(1, k):
+            acc = jnp.maximum(acc, op[jj * r_tile:(jj + 1) * r_tile])
     inner = jnp.maximum(acc, inner_o_ref[:])
     if inner_ref is not None:
         inner_ref[:] = inner
@@ -2294,16 +2338,29 @@ def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
         # recomputed operand makes f32 equality exact bf16 equality (the
         # argmax edge always matches — see make_fused_hoisted_aggregate_v3)
         op = op.astype(jnp.bfloat16).astype(jnp.float32)
-    slices = []
-    for jj in range(k):
-        opj = op[jj * r_tile:(jj + 1) * r_tile]
+    if _DENSE_RESHAPE:
+        # broadcast routing over the [k, R, H] row-view — one compare +
+        # select instead of a k-slice loop feeding a k-way concatenate
+        h = op.shape[-1]
+        op3 = op.reshape(k, r_tile, h)
         if bf16_cmp:
-            sel = (opj == inner).astype(jnp.float32)
+            sel3 = (op3 == inner[None]).astype(jnp.float32)
         else:
-            sel = (jnp.abs(opj - inner)
-                   <= 1e-5 * jnp.abs(inner) + 1e-5).astype(jnp.float32)
-        slices.append(sel * g)
-    d_op = jnp.concatenate(slices, axis=0)                      # [TE, H]
+            sel3 = (jnp.abs(op3 - inner[None])
+                    <= 1e-5 * jnp.abs(inner)[None] + 1e-5
+                    ).astype(jnp.float32)
+        d_op = (sel3 * g[None]).reshape(k * r_tile, h)
+    else:
+        slices = []
+        for jj in range(k):
+            opj = op[jj * r_tile:(jj + 1) * r_tile]
+            if bf16_cmp:
+                sel = (opj == inner).astype(jnp.float32)
+            else:
+                sel = (jnp.abs(opj - inner)
+                       <= 1e-5 * jnp.abs(inner) + 1e-5).astype(jnp.float32)
+            slices.append(sel * g)
+        d_op = jnp.concatenate(slices, axis=0)                  # [TE, H]
     d_op = jnp.where(validc, d_op, 0.0)
 
     d_op_c = d_op.astype(cd)
@@ -2484,8 +2541,16 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
                                window_blocks: int = 3,
                                interpret: Optional[bool] = None,
                                bf16_max: bool = False,
-                               precomp_eq: bool = True):
+                               precomp_eq: bool = True,
+                               ovf_sorted: bool = True):
     """Dense fixed-degree fused max-aggregation (see section comment).
+
+    `ovf_sorted`: the single-chip tiler (prepare_dense_knn_tiles) emits
+    receiver-sorted overflow, enabling the sorted segment_max lowering;
+    the HALO plans' per-shard overflow (window overflow + over-degree
+    spill + halo edges appended per shard) is NOT receiver-sorted in
+    augmented-index space — pass False there (same contract as
+    make_fused_hoisted_aggregate_v3).
 
     fused(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
           part_mask, ovf_s, ovf_r)
@@ -2529,6 +2594,8 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
 
     def _forward(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
                  ovf_s, ovf_r, for_vjp=False):
+        if ovf_sorted:
+            check_overflow_sorted(ovf_r, "fused dense aggregate (v4)")
         x_c = x.astype(gather_dtype)
         # overflow aggregate FIRST (small XLA segment-max over the fixed
         # budget); the kernel epilogue combines it with the dense max and
@@ -2539,12 +2606,15 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
         # wins a max), keeping the index vector globally sorted so
         # segment_max takes the sorted lowering instead of a scatter
         ovf_mask = ovf_r >= 0
-        ovf_r_c = jnp.maximum(
-            jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
+        if ovf_sorted:
+            ovf_r_c = jnp.maximum(
+                jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
+        else:
+            ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
         op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
         inner_o = jax.ops.segment_max(op_o, ovf_r_c,
                                       num_segments=num_nodes,
-                                      indices_are_sorted=True)
+                                      indices_are_sorted=ovf_sorted)
         res = _fused_fwd_call_v4(
             x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype), senders_local, tile_win, inner_o,

@@ -234,6 +234,24 @@ class HaloBundle:
         return self.replace(e_t=e_t, e_ovf=e_ovf)
 
 
+def halo_hoisted_max_batched(x: jnp.ndarray, w_s: jnp.ndarray,
+                             w_e: jnp.ndarray, offset: jnp.ndarray,
+                             bundle: "HaloBundle",
+                             bf16_max: bool = False) -> jnp.ndarray:
+    """Dispatches halo aggregation by the bundle's kernel family: dense
+    (v4) when the plan geometry carries the trailing "dense" marker
+    (parallel/halo_dense.py — kNN graphs, the headline family), windowed
+    (v3) otherwise. Call sites (models/layers.py) stay family-agnostic."""
+    if len(bundle.geometry) > 9 and bundle.geometry[9] == "dense":
+        from radargnn_tpu.parallel.halo_dense import (
+            halo_dense_hoisted_max_batched,
+        )
+        return halo_dense_hoisted_max_batched(x, w_s, w_e, offset, bundle,
+                                              bf16_max)
+    return halo_windowed_hoisted_max_batched(x, w_s, w_e, offset, bundle,
+                                             bf16_max)
+
+
 def halo_windowed_hoisted_max_batched(x: jnp.ndarray, w_s: jnp.ndarray,
                                       w_e: jnp.ndarray, offset: jnp.ndarray,
                                       bundle: HaloBundle,

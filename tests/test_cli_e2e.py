@@ -83,7 +83,7 @@ EVALUATE:
 """
 
 
-def test_full_cli_pipeline(tmp_path):
+def test_full_cli_pipeline(tmp_path, capsys):
     from radargnn_tpu.cli.main import main
 
     dataset_root = _make_dataset_root(tmp_path, num_train=2, num_val=1)
@@ -94,6 +94,13 @@ def test_full_cli_pipeline(tmp_path):
         f.write(CONFIG_YAML.format(epochs=2))
 
     main(dataset_root, results, config_path)
+
+    # Shipping defaults (r4 verdict item 2): this config is the verbatim
+    # reference schema — no fused_* fields — and it is a kNN graph with the
+    # hoisted conv configuration, so the AUTO defaults must engage the
+    # dense (v4) kernel family, the headline path.
+    assert ">>> fused aggregation: dense (v4) kernels" in \
+        capsys.readouterr().out
 
     model_folder = os.path.join(results, "model_01")
     assert os.path.isdir(model_folder)

@@ -269,8 +269,19 @@ def test_fused_csr_tiling_from_config():
                 conv_layer_dimensions=[8],
                 classification_head_layer_dimensions=[6],
                 regression_head_layer_dimensions=[5])
-    off = GNNArchitectureConfig(**base)
+    # AUTO default (r4 verdict item 2): a config with the reference
+    # defaults (pre_layers 1, max aggregation) gets the fused kernels
+    # without opting in; False forces the XLA path; a non-hoistable
+    # configuration auto-disables
+    on_by_default = GNNArchitectureConfig(**base)
+    assert on_by_default.use_fused_aggregation is True
+    assert fused_csr_tiling(on_by_default) is not None
+    off = GNNArchitectureConfig(**base, use_fused_aggregation=False)
     assert fused_csr_tiling(off) is None
+    mean_aggr = GNNArchitectureConfig(**base, aggregation_function="mean")
+    assert mean_aggr.use_fused_aggregation is False
+    multi_pre = GNNArchitectureConfig(**base, conv_pre_mlp_layer_number=2)
+    assert multi_pre.use_fused_aggregation is False
 
     # fused_run_cap defaults to the measured winner (4) since r3
     win = GNNArchitectureConfig(**base, use_fused_aggregation=True,

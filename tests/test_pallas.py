@@ -1331,3 +1331,38 @@ def test_detnet_dense_tiling_matches_xla_train_steps():
     _, lx2 = tx.train_step_fn(sx, b_xla)
     np.testing.assert_allclose(np.asarray(ld2), np.asarray(lx2),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_unsorted_overflow_trips_sorted_contract_guard():
+    """The sorted-overflow contract is untestable-on-CPU at the kernel level
+    (XLA treats indices_are_sorted as a hint off-chip), so the host guard
+    must catch unsorted overflow receivers eagerly — for the dense (v4)
+    family (always sorted-lowered) and the windowed (v3) family unless
+    built with the halo path's ovf_sorted=False opt-out."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import (
+        check_overflow_sorted, make_fused_dense_aggregate,
+    )
+
+    geo, a = _dense_setup()
+    fused = make_fused_dense_aggregate(
+        geo["n"], geo["K"], geo["r_tile"], geo["node_block"], geo["wb"])
+    # swap two valid overflow receivers out of order
+    ovf_r = np.array(a["ovf_r"])
+    valid = np.flatnonzero(ovf_r >= 0)
+    assert len(valid) >= 2
+    lo, hi = valid[0], valid[-1]
+    assert ovf_r[lo] <= ovf_r[hi]
+    ovf_r[lo], ovf_r[hi] = ovf_r[hi] + 1, ovf_r[lo]
+    args = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_t"], a["w_e"],
+                                   a["offset"], a["e_ovf"], a["tile_win"],
+                                   a["sloc"], a["pmask"], a["ovf_s"],
+                                   ovf_r)))
+    with pytest.raises(ValueError, match="non-decreasing"):
+        fused(*args)
+    # gradient entry point guards too
+    with pytest.raises(ValueError, match="non-decreasing"):
+        jax.grad(lambda x_: fused(x_, *args[1:]).sum())(args[0])
+    # sorted input passes the guard (identity sanity)
+    check_overflow_sorted(np.asarray(a["ovf_r"]), "test")
