@@ -107,6 +107,10 @@ def main():
     parser.add_argument("--resume", type=str, default=None,
                         help="resume from a checkpoint directory (run long "
                              "trainings in command-timeout-sized chunks)")
+    parser.add_argument("--seed", type=int, default=123,
+                        help="training seed (init + shuffling); the data "
+                             "seed stays fixed so seed sweeps compare "
+                             "kernel families on identical datasets")
     args = parser.parse_args()
 
     samples = make_samples(num_frames=args.frames, num_points=args.points,
@@ -140,7 +144,8 @@ def main():
     tcfg = TrainingConfig(
         dataset="radarscenes", learning_rate=2e-3, epochs=args.epochs,
         batch_size=args.batch_size, shuffle=True, bg_index=5,
-        deterministic=True, seed=123, exponential_lr_decay_factor=0.95,
+        deterministic=True, seed=args.seed,
+        exponential_lr_decay_factor=0.95,
         bb_loss_weight=0.5, regularization_strength=5e-6,
         adapt_orientation_angle=True, scan_steps_per_dispatch=4,
         set_weights_according_radar_scenes_distribution=args.imbalanced)

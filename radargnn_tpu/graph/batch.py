@@ -50,6 +50,10 @@ class FlatTiling(NamedTuple):
     roll_passes: Optional[int] = None
     # (r_tile, k) for the dense fixed-degree (v4) kernels; None = windowed
     dense: Optional[tuple] = None
+    # r5 dense-family overflow d_x landing: (ossum_perm, ossum_send,
+    # ossum_blocks) — a sender-sorted CSR tiling of the overflow slots
+    # for pallas_segment_sum_csr. None = XLA scatter-add.
+    ovft: Optional[tuple] = None
 
 
 @struct.dataclass
@@ -97,6 +101,14 @@ class GraphBatch:
     ovf_senders: Optional[jnp.ndarray] = None        # [G, Eo] int32 (local)
     ovf_receivers: Optional[jnp.ndarray] = None      # [G, Eo] int32, -1 pad
     ovf_edge_feat: Optional[jnp.ndarray] = None      # [G, Eo, De] float
+
+    # r5: sender-sorted CSR tiling of the overflow slots for the dense
+    # (v4) family — the backward overflow d_x lands through
+    # pallas_segment_sum_csr instead of XLA's scatter-add. The perm
+    # indexes the plain [Eo] overflow slot space.
+    ossum_perm: Optional[jnp.ndarray] = None         # [G, Eot] int32
+    ossum_send: Optional[jnp.ndarray] = None         # [G, Eot] int32, -1 pad
+    ossum_blocks: Optional[jnp.ndarray] = None       # [G, To] int32 (local)
 
     # halo edge-partitioning over a (data × model) mesh
     # (parallel.halo_windowed): per-graph stacked HaloWindowedPlan arrays,
@@ -212,8 +224,21 @@ class GraphBatch:
             ovf_e = self.ovf_edge_feat.reshape(
                 -1, self.ovf_edge_feat.shape[-1])
             win = (sloc, t_win, pmask, ovf_s, ovf_r, ovf_e)
+        ovft = None
+        if self.ossum_perm is not None:
+            # sender-sorted overflow tiling (dense family): the perm
+            # indexes the plain [Eo] overflow slot space, so it offsets
+            # by Eo per graph; senders/blocks get node/block offsets
+            eo = self.ovf_senders.shape[1]
+            eo_off = (jnp.arange(g, dtype=jnp.int32) * eo)[:, None]
+            ovft = (
+                (self.ossum_perm + eo_off).reshape(-1),
+                jnp.where(self.ossum_send >= 0, self.ossum_send + n_off,
+                          -1).reshape(-1),
+                (self.ossum_blocks + b_off).reshape(-1),
+            )
         return FlatTiling(senders, recv, blocks, edge_feat, ssum, win,
-                          node_block, edge_tile, roll_passes, dense)
+                          node_block, edge_tile, roll_passes, dense, ovft)
 
     def flat_halo(self, mesh):
         """Device-side HaloBundle for halo-partitioned training (None when
@@ -456,7 +481,7 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         out["_halo_budgets"] = plan_budgets_dense(plan)
     elif dense_cfg is not None:
         from radargnn_tpu.ops.pallas_kernels import (
-            prepare_dense_knn_tiles, window_part_mask,
+            prepare_csr_tiles, prepare_dense_knn_tiles, window_part_mask,
         )
         node_block = dense_cfg["node_block"]
         r_tile = dense_cfg["r_tile"]
@@ -499,6 +524,20 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         from radargnn_tpu.ops.pallas_kernels import check_overflow_sorted
         check_overflow_sorted(out["ovf_receivers"],
                               "prepare_dense_knn_tiles plan")
+        # r5: sender-sorted CSR tiling of the overflow slots — the dense
+        # backward lands its overflow d_x through pallas_segment_sum_csr
+        # instead of XLA's scatter-add (~1.0 ms/step in the r4 trace).
+        # Host-side sorting is free at plan build (the r4 negative was a
+        # per-step DEVICE argsort). The perm indexes the PLAIN overflow
+        # slot space (out["ovf_senders"] order).
+        te_o = dense_cfg.get("ovf_edge_tile", 256)
+        nblocks_o = max_nodes // node_block
+        total_o = -(-budget // te_o) + nblocks_o
+        s_perm, s_blocks, s_send = prepare_csr_tiles(
+            out["ovf_senders"], ovf_valid, max_nodes, node_block, te_o,
+            total_o)
+        out.update(ossum_perm=s_perm, ossum_send=s_send,
+                   ossum_blocks=s_blocks)
     elif halo_partition is not None:
         from radargnn_tpu.parallel.halo_windowed import (
             build_halo_windowed_plan, plan_budgets,

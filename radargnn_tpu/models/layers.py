@@ -56,6 +56,19 @@ _RUN_CAP_ENV = _os.environ.get("RADARGNN_FUSED_RUN_CAP")
 # experiments; defaults follow the measured winners (r3: precomp_eq ON
 # +2.5%; stream_m/sender_dx neutral; bf16_landing/precomp_land -1.5%)
 _PRECOMP_EQ = _os.environ.get("RADARGNN_FUSED_PRECOMP_EQ", "1") == "1"
+# dense (v4) kernels only: layers NARROWER than this build the window
+# one-hot in-kernel instead of consuming the int8 eq stream — the narrow
+# layers' kernels are eq-DMA-bound (r4 trace), while the global in-kernel
+# build measured -2.9% (the wide layers hide the stream under their MXU
+# work). 0 streams everywhere; a large value builds in-kernel everywhere.
+_EQ_MIN_WIDTH = int(_os.environ.get("RADARGNN_FUSED_EQ_MIN_WIDTH", "0"))
+# dense (v4) kernels: land the overflow backward's d_x through the
+# sender-sorted segment-sum kernel when the batch carries the ossum
+# tiling. Default OFF — measured r5: 11.34M vs 11.41M (-0.6%): XLA had
+# already fused its scatter into the dx part-combine, so the separate
+# kernel + [Eo,d] permutation gather lose more than the scatter costs.
+# Kept behind the flag for future hardware/geometries.
+_OVF_SSUM = _os.environ.get("RADARGNN_FUSED_OVF_SSUM", "0") == "1"
 _STREAM_M = _os.environ.get("RADARGNN_FUSED_STREAM_M", "0") == "1"
 _SENDER_DX = _os.environ.get("RADARGNN_FUSED_SENDER_DX", "0") == "1"
 _BF16_LANDING = _os.environ.get("RADARGNN_FUSED_BF16_LANDING", "0") == "1"
@@ -120,10 +133,24 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
         )
         r_tile, k = tiling.dense
         sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+        precomp = _PRECOMP_EQ and x.shape[-1] >= _EQ_MIN_WIDTH
+        if tiling.ovft is not None and _OVF_SSUM:
+            # r5: the overflow backward's d_x lands through the
+            # sender-sorted segment-sum kernel instead of XLA scatter-add
+            os_perm, os_send, os_blocks = tiling.ovft
+            eot = os_perm.shape[0] // os_blocks.shape[0]
+            fused = make_fused_dense_aggregate(
+                num_nodes, k, r_tile, tiling.node_block,
+                window_blocks=pmask.shape[0], bf16_max=bf16_max,
+                precomp_eq=precomp, ovf_ssum=True, ovf_edge_tile=eot)
+            return fused(x, w_s, tiling.edge_feat,
+                         w_e.astype(jnp.float32), offset, ovf_e, t_win,
+                         sloc, pmask, ovf_s, ovf_r, os_perm, os_send,
+                         os_blocks)
         fused = make_fused_dense_aggregate(
             num_nodes, k, r_tile, tiling.node_block,
             window_blocks=pmask.shape[0], bf16_max=bf16_max,
-            precomp_eq=_PRECOMP_EQ)
+            precomp_eq=precomp)
         return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
                      offset, ovf_e, t_win, sloc, pmask, ovf_s, ovf_r)
     if tiling.win is not None:

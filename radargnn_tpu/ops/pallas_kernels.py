@@ -1239,6 +1239,29 @@ def fused_hoisted_aggregate_v2_reference(x, w_s, e_t, w_e, senders_t,
 # fixed-budget XLA overflow path.
 # ---------------------------------------------------------------------------
 
+def _exact_sel_dot(eq01, data):
+    """Exact-f32 SELECTION dot `eq01 @ data` for a 0/1 matrix with at most
+    ONE hit per output row, in THREE native bf16 MXU passes (r5).
+
+    Why: Mosaic's default f32 dot runs one bf16 pass (rounds the selected
+    values — the r4 precision bug), and Precision.HIGHEST splits BOTH
+    operands (6 passes). A 0/1 one-hot is bf16-exact, so only the data
+    needs splitting: h1 = bf16(d), h2 = bf16(d - h1), h3 = d - h1 - h2
+    (each split exact by the Dekker argument; 3×8 mantissa bits cover
+    f32's 24, and the selected parts recombine exactly because their sum
+    IS the representable f32 value). Measured on the windowed strict path:
+    the landing + inner-gather HIGHEST dots were the r4 strict-routing
+    cost (5.85M vs 9.9M bf16_max)."""
+    h1 = data.astype(jnp.bfloat16)
+    r1 = data - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    eqb = eq01.astype(jnp.bfloat16)
+    return (jnp.dot(eqb, h1, preferred_element_type=jnp.float32)
+            + jnp.dot(eqb, h2, preferred_element_type=jnp.float32)
+            + jnp.dot(eqb, h3, preferred_element_type=jnp.float32))
+
+
 def _window_eq(sloc_row, edge_tile, width, dtype):
     """One-hot [TE, W] edge->window-slot matrix; -1 slots match nothing."""
     cols = jax.lax.broadcasted_iota(jnp.int32, (edge_tile, width), 1)
@@ -1346,12 +1369,13 @@ def _fused_fwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
             # at most one slot per row is set (is_last) — 0/1 exact
             has = jnp.sum(eq, axis=1, keepdims=True).astype(jnp.float32)
         else:
-            eq = eqb.astype(jnp.float32)
             # f32 landing must select exactly (strict routing compares the
-            # recomputed f32 operand against these landed maxima at 1e-5)
-            sums = jnp.dot(eq, r, preferred_element_type=jnp.float32,
-                           precision=_SEL_PRECISION)
-            has = jnp.sum(eq, axis=1, keepdims=True)
+            # recomputed f32 operand against these landed maxima at 1e-5);
+            # 3-part bf16 split = exact selection at half HIGHEST's passes
+            sums = _exact_sel_dot(eqb, r)
+            # at most one slot per row is set (is_last) — bf16-exact sum
+            has = jnp.sum(eqb.astype(jnp.bfloat16), axis=1,
+                          keepdims=True).astype(jnp.float32)
     out_tile = sums + (has - 1.0) * (-_NEG)
     o_ref[:] = jnp.maximum(o_ref[:], out_tile)
 
@@ -1473,20 +1497,19 @@ def _fused_bwd_kernel_v3(tile_blocks_ref, tile_win_ref, *refs,
             else operand.astype(jnp.bfloat16).astype(jnp.float32)
         sel = (op16 == inner_at_e).astype(jnp.float32)
     else:
-        rows = jax.lax.broadcasted_iota(jnp.int32,
-                                        (node_block, edge_tile), 0)
-        eq = (rows == jnp.broadcast_to(local2d, (node_block, edge_tile))
-              ).astype(jnp.float32)                            # [TN, TE]
-        inner_at_e = jnp.dot(eq.T, inner_ref[:],
-                             preferred_element_type=jnp.float32,
-                             precision=_SEL_PRECISION)
-        # gradients tolerate bf16: a 0/1 one-hot is exact in bf16 and the
-        # upstream g rides bf16 matmuls elsewhere — halves this matmul's
-        # cost. Built transposed directly from iota (no relayout).
+        # strict routing: gather each edge's landed max EXACTLY via the
+        # 3-part bf16 split (r5 — replaces the HIGHEST dot that made the
+        # post-fix strict path 5.85M vs 9.9M bf16_max). Built transposed
+        # directly from iota (no relayout); gradients tolerate bf16 for
+        # the g gather below.
         ncols = jax.lax.broadcasted_iota(jnp.int32,
                                          (edge_tile, node_block), 1)
         eq_t_c = (ncols == jnp.transpose(local2d)).astype(cd)
-        has_recv = jnp.sum(eq, axis=0)[:, None]
+        inner_at_e = _exact_sel_dot(eq_t_c, inner_ref[:])
+        # a valid slot's local receiver lies in [0, node_block); dead
+        # slots carry a negative local id — same predicate the one-hot
+        # column-sum computed, without materializing the [TN, TE] eq
+        has_recv = (jnp.transpose(local2d) >= 0).astype(jnp.float32)
         sel = (jnp.abs(operand - inner_at_e)
                <= 1e-5 * jnp.abs(inner_at_e) + 1e-5).astype(jnp.float32)
     g_at_e = jnp.dot(eq_t_c, g_ref[:].astype(eq_t_c.dtype),
@@ -2542,8 +2565,29 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
                                interpret: Optional[bool] = None,
                                bf16_max: bool = False,
                                precomp_eq: bool = True,
-                               ovf_sorted: bool = True):
+                               ovf_sorted: bool = True,
+                               ovf_ssum: bool = False,
+                               ovf_edge_tile: int = 256):
     """Dense fixed-degree fused max-aggregation (see section comment).
+
+    `ovf_ssum` (r5): land the overflow backward's d_x through the
+    SENDER-sorted segment-sum kernel (pallas_segment_sum_csr) instead of
+    XLA's scatter-add — the r4 trace put that scatter at ~1.0 ms/step
+    (~4× its bandwidth floor). The host tiler supplies a sender-CSR
+    tiling of the overflow slots (prepare_csr_tiles over ovf_senders —
+    host sorting is free at plan build; the r4 negative was a per-step
+    DEVICE argsort). The fused signature gains the three tiling
+    operands:
+
+    fused(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
+          part_mask, ovf_s, ovf_r, ossum_perm, ossum_send, ossum_blocks)
+
+    Measured r5 negative (do not rebuild): running the WHOLE overflow
+    path through the v2 CSR kernels (receiver-tiled fwd segment-max +
+    in-kernel routing bwd) benched 10.47M vs the 11.41M XLA-overflow
+    baseline — the ~2.2× slot padding of per-block overflow tiles plus
+    HIGHEST landings on tiny tiles cost more than the XLA segment ops
+    they replace. Only the scatter side wins.
 
     `ovf_sorted`: the single-chip tiler (prepare_dense_knn_tiles) emits
     receiver-sorted overflow, enabling the sorted segment_max lowering;
@@ -2626,24 +2670,26 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
             out, inner, stream = res[0], None, None
         return out, inner, stream
 
+    n_sig = 14 if ovf_ssum else 11
+
     @jax.custom_vjp
     def fused(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
-              part_mask, ovf_s, ovf_r):
+              part_mask, ovf_s, ovf_r, *ossum):
         out, _, _ = _forward(x, w_s, e_t, w_e, offset, e_ovf, tile_win,
                              senders_local, ovf_s, ovf_r)
         return out
 
     def fwd(x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
-            part_mask, ovf_s, ovf_r):
+            part_mask, ovf_s, ovf_r, *ossum):
         out, inner, stream = _forward(
             x, w_s, e_t, w_e, offset, e_ovf, tile_win, senders_local,
             ovf_s, ovf_r, for_vjp=True)
         return out, (x, w_s, e_t, w_e, e_ovf, tile_win, senders_local,
-                     part_mask, ovf_s, ovf_r, inner, stream)
+                     part_mask, ovf_s, ovf_r, ossum, inner, stream)
 
     def bwd(res, g):
         (x, w_s, e_t, w_e, e_ovf, tile_win, senders_local, part_mask,
-         ovf_s, ovf_r, inner, stream) = res
+         ovf_s, ovf_r, ossum, inner, stream) = res
         has = inner > _NEG / 2
         g_pass = jnp.where(has, g, 0.0)
         inner_z = jnp.where(has, inner, 0.0)
@@ -2672,18 +2718,31 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
                 jnp.abs(op_o - inner_z[ovf_r_c])
                 <= 1e-5 * jnp.abs(inner_z[ovf_r_c]) + 1e-5)
         d_op_o = jnp.where(sel_o, g_pass[ovf_r_c], 0.0)
-        # NOTE (measured r4): device-argsorting the overflow senders to use
-        # the sorted segment_sum lowering here ran 3.9% SLOWER end-to-end
-        # (11.03M vs 11.48M) — the per-step argsort + [Eovf, d] gather cost
-        # more than the unsorted scatter saves. Keep the plain scatter.
-        d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
-                                        num_segments=num_nodes)
+        if ovf_ssum:
+            # r5: the d_x landing rides the sender-sorted segment-sum
+            # kernel (host-built tiling — free at plan build; the r4
+            # negative was a per-step DEVICE argsort). The projection and
+            # permutation gather run in bf16 (gradients ride bf16 in the
+            # main kernels too); accumulation stays f32 in-kernel.
+            ossum_perm, ossum_send, ossum_blocks = ossum
+            d_xo = (d_op_o.astype(gather_dtype)
+                    @ w_s.T.astype(gather_dtype)).astype(gather_dtype)
+            d_x = d_x + pallas_segment_sum_csr(
+                d_xo[ossum_perm], ossum_send, ossum_blocks, num_nodes,
+                node_block, ovf_edge_tile, interpret)
+        else:
+            # NOTE (measured r4): device-argsorting the overflow senders
+            # to use the sorted segment_sum lowering here ran 3.9% SLOWER
+            # end-to-end (11.03M vs 11.48M) — the per-step argsort +
+            # [Eovf, d] gather cost more than the unsorted scatter saves.
+            d_x = d_x + jax.ops.segment_sum(d_op_o @ w_s.T, ovf_s,
+                                            num_segments=num_nodes)
         d_ws = d_ws + x[ovf_s].T @ d_op_o
         d_we = d_we + e_ovf.astype(jnp.float32).T @ d_op_o
         d_e_ovf = (d_op_o @ w_e.T).astype(e_ovf.dtype)
 
-        return (d_x, d_ws, d_e_t, d_we, g_pass, d_e_ovf,
-                None, None, None, None, None)
+        return (d_x, d_ws, d_e_t, d_we, g_pass, d_e_ovf) \
+            + (None,) * (n_sig - 6)
 
     fused.defvjp(fwd, bwd)
     return fused

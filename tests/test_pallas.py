@@ -1366,3 +1366,61 @@ def test_unsorted_overflow_trips_sorted_contract_guard():
         jax.grad(lambda x_: fused(x_, *args[1:]).sum())(args[0])
     # sorted input passes the guard (identity sanity)
     check_overflow_sorted(np.asarray(a["ovf_r"]), "test")
+
+
+def _ossum_setup(geo, a, te_o=16):
+    """Host sender-sorted CSR tiling of the overflow slots (r5 ossum)."""
+    from radargnn_tpu.ops.pallas_kernels import prepare_csr_tiles
+
+    n, nb = geo["n"], geo["node_block"]
+    ovf_valid = a["ovf_idx"] >= 0
+    total_o = -(-len(a["ovf_idx"]) // te_o) + n // nb
+    s_perm, s_blocks, s_send = prepare_csr_tiles(
+        a["ovf_s"], ovf_valid, n, nb, te_o, total_o)
+    return (s_perm, s_send, s_blocks), te_o
+
+
+@pytest.mark.parametrize("variable_degree", [True, False])
+def test_fused_dense_ovf_ssum_matches(variable_degree):
+    """r5 sender-sorted overflow d_x landing (pallas_segment_sum_csr
+    replacing XLA scatter-add) must match the XLA formulation — forward
+    and all gradients."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import make_fused_dense_aggregate
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    geo, a = _dense_setup(variable_degree=variable_degree)
+    assert (a["ovf_idx"] >= 0).sum() > 10
+    ossum, te_o = _ossum_setup(geo, a)
+
+    fused = make_fused_dense_aggregate(
+        geo["n"], geo["K"], geo["r_tile"], geo["node_block"], geo["wb"],
+        ovf_ssum=True, ovf_edge_tile=te_o)
+    consts = tuple(map(jnp.asarray, (a["tile_win"], a["sloc"], a["pmask"],
+                                     a["ovf_s"], a["ovf_r"]) + ossum))
+
+    def f_pallas(x_, w_s_, e_t_, w_e_, offset_, e_ovf_):
+        return fused(x_, w_s_, e_t_, w_e_, offset_, e_ovf_, *consts)
+
+    def f_xla(x_, w_s_, e_feat_, w_e_, offset_):
+        operand = (x_ @ w_s_)[jnp.asarray(a["send"])] + e_feat_ @ w_e_
+        return hoisted_segment_max(operand, jnp.asarray(a["recv"]),
+                                   geo["n"], jnp.asarray(a["mask"]), False,
+                                   offset_)
+
+    args_p = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_t"], a["w_e"],
+                                     a["offset"], a["e_ovf"])))
+    args_x = tuple(map(jnp.asarray, (a["x"], a["w_s"], a["e_feat"],
+                                     a["w_e"], a["offset"])))
+    got = np.asarray(f_pallas(*args_p))
+    want = np.asarray(f_xla(*args_x))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    g_p = jax.grad(lambda *ar: (f_pallas(*ar) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_p)
+    g_x = jax.grad(lambda *ar: (f_xla(*ar) ** 2).sum(),
+                   argnums=(0, 1, 3, 4))(*args_x)
+    for nm, p_, x_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
+        np.testing.assert_allclose(np.asarray(p_), np.asarray(x_),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
