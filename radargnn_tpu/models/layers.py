@@ -69,6 +69,13 @@ _EQ_MIN_WIDTH = int(_os.environ.get("RADARGNN_FUSED_EQ_MIN_WIDTH", "0"))
 # kernel + [Eo,d] permutation gather lose more than the scatter costs.
 # Kept behind the flag for future hardware/geometries.
 _OVF_SSUM = _os.environ.get("RADARGNN_FUSED_OVF_SSUM", "0") == "1"
+# dense (v4): layers at or below this width skip the Pallas kernels and
+# run a pure-XLA reshape-max over the SAME dense slot layout (the
+# neighbor-major layout makes the reduction a [T, k, R, H] axis-max — no
+# segment ops at all). The narrow layers' kernels are fixed-cost-bound
+# (r4 trace); 0 = always use the kernels.
+_DENSE_XLA_MAX_WIDTH = int(
+    _os.environ.get("RADARGNN_FUSED_DENSE_XLA_MAX_WIDTH", "0"))
 _STREAM_M = _os.environ.get("RADARGNN_FUSED_STREAM_M", "0") == "1"
 _SENDER_DX = _os.environ.get("RADARGNN_FUSED_SENDER_DX", "0") == "1"
 _BF16_LANDING = _os.environ.get("RADARGNN_FUSED_BF16_LANDING", "0") == "1"
@@ -117,6 +124,46 @@ def fused_csr_tiling(model_config, k=None):
     return tiling
 
 
+def _dense_xla_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
+                           r_tile, k):
+    """Pure-XLA hoisted max over the dense slot layout (narrow layers).
+
+    Slot j·R + (r mod R) of tile t = receiver t·R + (r mod R)'s j-th
+    in-edge, so the reduction is a [T, k, R, H] axis-max — no segment
+    ops, no Pallas. The sender gather and operand ride XLA; overflow
+    combines exactly as the kernel path does. Differentiable end-to-end
+    (autodiff; max ties share gradient — XLA's own semantics)."""
+    import jax
+
+    from radargnn_tpu.ops.pallas_kernels import _NEG
+
+    sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+    cd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    x_c = x.astype(cd)
+    ws_c = w_s.astype(cd)
+    we_c = w_e.astype(cd)
+    h = w_s.shape[1]
+    op = jnp.dot(x_c[tiling.senders], ws_c,
+                 preferred_element_type=jnp.float32) \
+        + jnp.dot(tiling.edge_feat.astype(cd), we_c,
+                  preferred_element_type=jnp.float32)
+    op = jnp.where((sloc >= 0)[:, None], op, _NEG)
+    acc = op.reshape(-1, k, r_tile, h).max(axis=1).reshape(num_nodes, h)
+    # overflow: identical to the kernel path's XLA ops (sorted lowering)
+    ovf_mask = ovf_r >= 0
+    ovf_r_c = jnp.maximum(
+        jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
+    op_o = jnp.dot(x_c[ovf_s], ws_c, preferred_element_type=jnp.float32) \
+        + jnp.dot(ovf_e.astype(cd), we_c,
+                  preferred_element_type=jnp.float32)
+    op_o = jnp.where(ovf_mask[:, None], op_o, _NEG)
+    inner_o = jax.ops.segment_max(op_o, ovf_r_c, num_segments=num_nodes,
+                                  indices_are_sorted=True)
+    inner = jnp.maximum(acc, inner_o)
+    has = inner > _NEG / 2
+    return jnp.where(has, offset + inner, 0.0)
+
+
 def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
                        bf16_max=True):
     """Dispatches the hoisted max aggregation to the fused Pallas kernels:
@@ -133,6 +180,9 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
         )
         r_tile, k = tiling.dense
         sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
+        if x.shape[-1] <= _DENSE_XLA_MAX_WIDTH:
+            return _dense_xla_hoisted_max(num_nodes, x, w_s, w_e, offset,
+                                          tiling, r_tile, k)
         precomp = _PRECOMP_EQ and x.shape[-1] >= _EQ_MIN_WIDTH
         if tiling.ovft is not None and _OVF_SSUM:
             # r5: the overflow backward's d_x lands through the
@@ -150,7 +200,7 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
         fused = make_fused_dense_aggregate(
             num_nodes, k, r_tile, tiling.node_block,
             window_blocks=pmask.shape[0], bf16_max=bf16_max,
-            precomp_eq=precomp)
+            precomp_eq=precomp, sender_dx=_SENDER_DX)
         return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
                      offset, ovf_e, t_win, sloc, pmask, ovf_s, ovf_r)
     if tiling.win is not None:

@@ -2314,6 +2314,7 @@ def _fused_fwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
 def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
                          node_block: int, window_blocks: int,
                          bf16_cmp: bool, precomp_eq: bool,
+                         sender_dx: bool = False,
                          grad_dtype=jnp.bfloat16):
     wb = window_blocks
     xg_ref = refs[0]
@@ -2325,15 +2326,24 @@ def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
         i += 1
     inner_ref, g_ref = refs[i:i + 2]
     i += 2
-    de_ref, dws_ref, dwe_ref = refs[i:i + 3]
-    i += 3
+    if sender_dx:
+        # sender-space landing: the kernel emits H-wide per-part sums
+        # d_ys = eq_sᵀ @ d_op; d_x = d_ys @ W_sᵀ and dW_s = xᵀ @ d_ys
+        # become node-wide XLA matmuls (no in-kernel d_xg / dW_s)
+        de_ref, dwe_ref = refs[i:i + 2]
+        i += 2
+        dws_ref = None
+    else:
+        de_ref, dws_ref, dwe_ref = refs[i:i + 3]
+        i += 3
     dx_parts = refs[i:i + wb]
 
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _():
-        dws_ref[:] = jnp.zeros_like(dws_ref)
+        if dws_ref is not None:
+            dws_ref[:] = jnp.zeros_like(dws_ref)
         dwe_ref[:] = jnp.zeros_like(dwe_ref)
 
     win_changed = jnp.logical_or(
@@ -2392,12 +2402,16 @@ def _fused_bwd_kernel_v4(tile_win_ref, *refs, r_tile: int, k: int,
                         ).astype(de_ref.dtype)
     dwe_ref[:] += jnp.dot(e_ref[:].T, d_op_c,
                           preferred_element_type=jnp.float32)
-    d_xg = jnp.dot(d_op_c, ws_ref[:].T,
-                   preferred_element_type=jnp.float32)          # [TE, d_in]
-    dws_ref[:] += jnp.dot(x_g.T, d_op_c,
-                          preferred_element_type=jnp.float32)
-    dxw = jnp.dot(eq_s.T, d_xg.astype(cd),
-                  preferred_element_type=jnp.float32)           # [W, d_in]
+    if sender_dx:
+        dxw = jnp.dot(eq_s.T, d_op_c,
+                      preferred_element_type=jnp.float32)       # [W, H]
+    else:
+        d_xg = jnp.dot(d_op_c, ws_ref[:].T,
+                       preferred_element_type=jnp.float32)      # [TE, d_in]
+        dws_ref[:] += jnp.dot(x_g.T, d_op_c,
+                              preferred_element_type=jnp.float32)
+        dxw = jnp.dot(eq_s.T, d_xg.astype(cd),
+                      preferred_element_type=jnp.float32)       # [W, d_in]
     for jj, dxp in enumerate(dx_parts):
         dxp[:] += dxw[jj * node_block:(jj + 1) * node_block]
 
@@ -2479,7 +2493,8 @@ def _fused_fwd_call_v4(x_c, w_s, e_t, w_e, senders_local, tile_win,
 
 def _fused_bwd_call_v4(xg_stream, w_s, e_t, w_e, senders_local, tile_win,
                        inner, g, num_nodes, k, r_tile, node_block,
-                       window_blocks, interpret, bf16_cmp=False, eq_m=None):
+                       window_blocks, interpret, bf16_cmp=False, eq_m=None,
+                       sender_dx=False):
     d_in = w_s.shape[0]
     h = w_s.shape[1]
     de = e_t.shape[1]
@@ -2525,20 +2540,22 @@ def _fused_bwd_call_v4(xg_stream, w_s, e_t, w_e, senders_local, tile_win,
     out_specs = [
         pl.BlockSpec((te, de), lambda i, tw: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((d_in, h), lambda i, tw: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((de, h), lambda i, tw: (0, 0),
-                     memory_space=pltpu.VMEM),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((e_pad, de), e_t.dtype),
-        jax.ShapeDtypeStruct((d_in, h), jnp.float32),
-        jax.ShapeDtypeStruct((de, h), jnp.float32),
     ]
-    out_specs += [pl.BlockSpec((node_block, d_in), part_map(j),
+    if not sender_dx:
+        out_specs.append(pl.BlockSpec((d_in, h), lambda i, tw: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((d_in, h), jnp.float32))
+    out_specs.append(pl.BlockSpec((de, h), lambda i, tw: (0, 0),
+                                  memory_space=pltpu.VMEM))
+    out_shape.append(jax.ShapeDtypeStruct((de, h), jnp.float32))
+    part_w = h if sender_dx else d_in
+    out_specs += [pl.BlockSpec((node_block, part_w), part_map(j),
                                memory_space=pltpu.VMEM)
                   for j in range(window_blocks)]
-    out_shape += [jax.ShapeDtypeStruct((nb_pad, d_in), jnp.float32)
+    out_shape += [jax.ShapeDtypeStruct((nb_pad, part_w), jnp.float32)
                   for _ in range(window_blocks)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -2549,12 +2566,16 @@ def _fused_bwd_call_v4(xg_stream, w_s, e_t, w_e, senders_local, tile_win,
                           node_block=node_block,
                           window_blocks=window_blocks, bf16_cmp=bf16_cmp,
                           precomp_eq=eq_m is not None,
+                          sender_dx=sender_dx,
                           grad_dtype=(jnp.float32 if interpret
                                       else jnp.bfloat16)),
         out_shape=tuple(out_shape),
         grid_spec=grid_spec,
         interpret=interpret,
     )(*inputs)
+    if sender_dx:
+        d_e, d_we = outs[:2]
+        return d_e, None, d_we, outs[2:]
     d_e, d_ws, d_we = outs[:3]
     return d_e, d_ws, d_we, outs[3:]
 
@@ -2567,7 +2588,8 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
                                precomp_eq: bool = True,
                                ovf_sorted: bool = True,
                                ovf_ssum: bool = False,
-                               ovf_edge_tile: int = 256):
+                               ovf_edge_tile: int = 256,
+                               sender_dx: bool = False):
     """Dense fixed-degree fused max-aggregation (see section comment).
 
     `ovf_ssum` (r5): land the overflow backward's d_x through the
@@ -2697,13 +2719,24 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
             stream, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype), senders_local, tile_win, inner_z,
             g_pass, num_nodes, k, r_tile, node_block, window_blocks,
-            interpret, bf16_cmp=bf16_max, eq_m=_eq_m(senders_local))
+            interpret, bf16_cmp=bf16_max, eq_m=_eq_m(senders_local),
+            sender_dx=sender_dx)
         d_e_t = d_e_t.astype(e_t.dtype)
         row_masks = jnp.repeat(part_mask, node_block, axis=1)  # [WB, nb_pad]
-        acc = jnp.zeros((nb_pad, x.shape[1]), jnp.float32)
+        part_w = w_s.shape[1] if sender_dx else x.shape[1]
+        acc = jnp.zeros((nb_pad, part_w), jnp.float32)
         for j, p in enumerate(parts):
             acc = acc + jnp.where(row_masks[j][:, None], p, 0.0)
-        d_x = acc[:x.shape[0]]
+        if sender_dx:
+            # H-wide sender sums: d_x and dW_s become node-wide matmuls
+            d_ys = acc[:x.shape[0]]
+            cd_ = gather_dtype
+            d_x = jnp.dot(d_ys.astype(cd_), w_s.T.astype(cd_),
+                          preferred_element_type=jnp.float32)
+            d_ws = jnp.dot(x.astype(cd_).T, d_ys.astype(cd_),
+                           preferred_element_type=jnp.float32)
+        else:
+            d_x = acc[:x.shape[0]]
 
         # overflow backward (small, XLA)
         ovf_mask = ovf_r >= 0
