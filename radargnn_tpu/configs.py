@@ -238,17 +238,17 @@ class GNNArchitectureConfig:
     # the loader reports "window overflow ... exceeds budget".
     fused_overflow_fraction: float = 0.05
     # OPT-IN speed knob: backward-only bf16 max-gradient routing in the
-    # windowed kernels — the backward gathers bf16(inner) so its largest f32
-    # matmul rides the bf16 MXU (+1.3% r1; +0.6% at the r3 precomp_eq
-    # kernels); forward maxima/outputs
-    # stay exact f32. Gradient-semantics caveat (why this is OFF by
-    # default): every message tied with the max at bf16 resolution receives
-    # the FULL upstream cotangent, so k ties contribute k·g — not a valid
-    # subgradient when bf16 ties occur. Convergence measured equivalent on
-    # the flagship runs (docs/RESULTS.md); enable explicitly (or via
-    # RADARGNN_FUSED_BF16_MAX=1) when that trade is acceptable. The default
-    # exact-f32 routing gives each bf16-tied edge gradient only when it is
-    # the true f32 max (tested in tests/test_pallas.py).
+    # windowed kernels (r5: strict routing costs only ~20% vs this knob —
+    # 7.87M vs 9.9M edges/s — since the exact split-selection dots,
+    # docs/KERNELS.md r5; the dense family's strict routing is free).
+    # Gradient-semantics caveat (why this is OFF by default): every
+    # message tied with the max at bf16 resolution receives the FULL
+    # upstream cotangent, so k ties contribute k·g — not a valid
+    # subgradient when bf16 ties occur. Convergence measured equivalent
+    # on the flagship runs (docs/RESULTS.md); enable explicitly (or via
+    # RADARGNN_FUSED_BF16_MAX=1) when that trade is acceptable. The
+    # default exact-f32 routing gives each bf16-tied edge gradient only
+    # when it is the true f32 max (tested in tests/test_pallas.py).
     fused_bf16_max: bool = False
     # Spread tiling run cap for the windowed kernels: cap the longest
     # same-receiver edge run per tile (host scheduler spreads a receiver's
