@@ -1257,9 +1257,13 @@ def _exact_sel_dot(eq01, data):
     h2 = r1.astype(jnp.bfloat16)
     h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
     eqb = eq01.astype(jnp.bfloat16)
+    # summation ORDER carries the exactness: h2+h3 = r1 exactly (h3 IS
+    # r1−h2, an f32), then h1+r1 = d exactly. The left-to-right order
+    # (h1+h2)+h3 is off by 1 ulp when d−h3 needs 25 mantissa bits
+    # (caught by tests/test_pallas.py::test_exact_split_decomposition).
     return (jnp.dot(eqb, h1, preferred_element_type=jnp.float32)
-            + jnp.dot(eqb, h2, preferred_element_type=jnp.float32)
-            + jnp.dot(eqb, h3, preferred_element_type=jnp.float32))
+            + (jnp.dot(eqb, h2, preferred_element_type=jnp.float32)
+               + jnp.dot(eqb, h3, preferred_element_type=jnp.float32)))
 
 
 def _window_eq(sloc_row, edge_tile, width, dtype):

@@ -345,3 +345,33 @@ def test_fused_csr_tiling_auto_mode():
     windowed = fused_csr_tiling(auto, k=None)
     assert windowed == (FUSED_NODE_BLOCK, FUSED_EDGE_TILE,
                         FUSED_WINDOW_BLOCKS, 0.05, 4)
+
+
+def test_yaml_reader_auto_fused_defaults():
+    """A MODEL_ARCHITECTURE section with NO fused_* fields (verbatim
+    reference schema) must resolve to fused aggregation ON with auto
+    tiling through the YAML reader path (r4 verdict item 2)."""
+    from radargnn_tpu.configs import UserConfigurationReader
+
+    config_dict = {
+        "CREATE_DATASET": {"dataset": "radarscenes"},
+        "TRAIN": {
+            "MODEL_ARCHITECTURE": {
+                "node_feature_dimension": 5,
+                "edge_feature_dimension": 2,
+                "conv_layer_dimensions": [16, 16],
+                "classification_head_layer_dimensions": [6],
+                "regression_head_layer_dimensions": [8, 5],
+            }
+        }
+    }
+    arch = UserConfigurationReader.get_config_object(
+        "MODEL_ARCHITECTURE", config_dict)
+    assert arch.use_fused_aggregation is True
+    assert arch.fused_tiling == "auto"
+    # non-hoistable config through the same path auto-disables
+    config_dict["TRAIN"]["MODEL_ARCHITECTURE"][
+        "aggregation_function"] = "mean"
+    arch2 = UserConfigurationReader.get_config_object(
+        "MODEL_ARCHITECTURE", config_dict)
+    assert arch2.use_fused_aggregation is False

@@ -1424,3 +1424,30 @@ def test_fused_dense_ovf_ssum_matches(variable_degree):
     for nm, p_, x_ in zip(("x", "w_s", "w_e", "offset"), g_p, g_x):
         np.testing.assert_allclose(np.asarray(p_), np.asarray(x_),
                                    rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
+def test_exact_split_decomposition_property():
+    """The 3-part bf16 split underlying _exact_sel_dot must recombine to
+    the EXACT f32 input (docs/KERNELS.md r5): h1+h2+h3 == d for arbitrary
+    f32 values, including pathological rounding cases. This is the host
+    half of the exactness argument; the on-chip x-grad pin
+    (benchmarks/pallas_check.py) is the device half."""
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        (rng.normal(size=4096) * 10.0 ** rng.integers(-20, 20, 4096)
+         ).astype(np.float32),
+        # mantissa-dense values near power-of-two boundaries (carry cases)
+        np.nextafter(np.float32(1.0), np.float32(2.0)) * np.float32(1.0)
+        + np.linspace(0, 1e-6, 64, dtype=np.float32),
+        np.float32(2.0) - np.linspace(0, 1e-6, 64, dtype=np.float32),
+    ])
+    d = jnp.asarray(vals)
+    h1 = d.astype(jnp.bfloat16)
+    r1 = d - h1.astype(jnp.float32)
+    h2 = r1.astype(jnp.bfloat16)
+    h3 = (r1 - h2.astype(jnp.float32)).astype(jnp.bfloat16)
+    # the EXACT order (what _exact_sel_dot uses): h2+h3 = r1 exactly,
+    # then h1 + r1 = d exactly
+    recon = h1.astype(jnp.float32) + (h2.astype(jnp.float32)
+                                      + h3.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(recon), vals)
