@@ -178,6 +178,8 @@ def main():
                       "r_tile": FUSED_DENSE_R_TILE,
                       "k": k + FUSED_DENSE_EXTRA_SLOTS,
                       "window_blocks": FUSED_WINDOW_BLOCKS,
+                      "ovf_ssum": os.environ.get(
+                          "RADARGNN_FUSED_OVF_SSUM", "0") == "1",
                       "ovf_frac": OVF_FRAC}
         else:
             tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)

@@ -73,18 +73,20 @@ def main():
             FUSED_DENSE_EXTRA_SLOTS, FUSED_DENSE_R_TILE, FUSED_EDGE_TILE,
             FUSED_NODE_BLOCK, FUSED_WINDOW_BLOCKS,
         )
-        # default mirrors bench.py's TILING logic (dense since r4) so an
-        # unconfigured profile run traces the same kernel family as the
-        # driver headline; BENCH_TILING=windowed/csr for the other families
-        mode = os.environ.get(
-            "BENCH_TILING",
-            "dense" if os.environ.get("BENCH_WINDOWS", "1") == "1"
-            else "csr")
+        # default mirrors bench.py's shipping default (dense since r4) so
+        # an unconfigured profile run traces the same kernel family as the
+        # driver headline; BENCH_TILING=windowed/csr selects the other
+        # families (the legacy BENCH_WINDOWS knob is intentionally NOT
+        # consulted here — its name no longer matches the family it would
+        # select)
+        mode = os.environ.get("BENCH_TILING", "dense")
         if mode == "dense":
             tiling = {"mode": "dense", "node_block": FUSED_NODE_BLOCK,
                       "r_tile": FUSED_DENSE_R_TILE,
                       "k": k + FUSED_DENSE_EXTRA_SLOTS,
                       "window_blocks": FUSED_WINDOW_BLOCKS,
+                      "ovf_ssum": os.environ.get(
+                          "RADARGNN_FUSED_OVF_SSUM", "0") == "1",
                       "ovf_frac": float(os.environ.get("BENCH_OVF_FRAC",
                                                        "0.06"))}
         else:

@@ -524,20 +524,22 @@ def pad_sample(sample: GraphSample, max_nodes: int, max_edges: int,
         from radargnn_tpu.ops.pallas_kernels import check_overflow_sorted
         check_overflow_sorted(out["ovf_receivers"],
                               "prepare_dense_knn_tiles plan")
-        # r5: sender-sorted CSR tiling of the overflow slots — the dense
-        # backward lands its overflow d_x through pallas_segment_sum_csr
-        # instead of XLA's scatter-add (~1.0 ms/step in the r4 trace).
-        # Host-side sorting is free at plan build (the r4 negative was a
-        # per-step DEVICE argsort). The perm indexes the PLAIN overflow
-        # slot space (out["ovf_senders"] order).
-        te_o = dense_cfg.get("ovf_edge_tile", 256)
-        nblocks_o = max_nodes // node_block
-        total_o = -(-budget // te_o) + nblocks_o
-        s_perm, s_blocks, s_send = prepare_csr_tiles(
-            out["ovf_senders"], ovf_valid, max_nodes, node_block, te_o,
-            total_o)
-        out.update(ossum_perm=s_perm, ossum_send=s_send,
-                   ossum_blocks=s_blocks)
+        # Optional (measured -0.6%, RADARGNN_FUSED_OVF_SSUM): sender-
+        # sorted CSR tiling of the overflow slots — the dense backward
+        # lands its overflow d_x through pallas_segment_sum_csr instead
+        # of XLA's scatter-add. Host-side sorting is free at plan build
+        # (the r4 negative was a per-step DEVICE argsort); the perm
+        # indexes the PLAIN overflow slot space (out["ovf_senders"]
+        # order). Skipped on the shipping path — its consumer is off.
+        if dense_cfg.get("ovf_ssum", False):
+            te_o = dense_cfg.get("ovf_edge_tile", 256)
+            nblocks_o = max_nodes // node_block
+            total_o = -(-budget // te_o) + nblocks_o
+            s_perm, s_blocks, s_send = prepare_csr_tiles(
+                out["ovf_senders"], ovf_valid, max_nodes, node_block,
+                te_o, total_o)
+            out.update(ossum_perm=s_perm, ossum_send=s_send,
+                       ossum_blocks=s_blocks)
     elif halo_partition is not None:
         from radargnn_tpu.parallel.halo_windowed import (
             build_halo_windowed_plan, plan_budgets,

@@ -109,6 +109,10 @@ def fused_csr_tiling(model_config, k=None):
                 "r_tile": FUSED_DENSE_R_TILE,
                 "k": int(k) + FUSED_DENSE_EXTRA_SLOTS,
                 "window_blocks": FUSED_WINDOW_BLOCKS,
+                # build the sender-sorted overflow tiling only when its
+                # consumer is enabled (measured -0.6%, default off) — the
+                # shipping path skips the per-sample host sort + arrays
+                "ovf_ssum": _OVF_SSUM,
                 "ovf_frac": getattr(model_config,
                                     "fused_overflow_fraction", 0.05) + 0.03}
     tiling = (FUSED_NODE_BLOCK, FUSED_EDGE_TILE)
@@ -135,7 +139,7 @@ def _dense_xla_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
     (autodiff; max ties share gradient — XLA's own semantics)."""
     import jax
 
-    from radargnn_tpu.ops.pallas_kernels import _NEG
+    from radargnn_tpu.ops.pallas_kernels import _NEG, dense_overflow_inner
 
     sloc, t_win, pmask, ovf_s, ovf_r, ovf_e = tiling.win
     cd = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
@@ -149,16 +153,9 @@ def _dense_xla_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
                   preferred_element_type=jnp.float32)
     op = jnp.where((sloc >= 0)[:, None], op, _NEG)
     acc = op.reshape(-1, k, r_tile, h).max(axis=1).reshape(num_nodes, h)
-    # overflow: identical to the kernel path's XLA ops (sorted lowering)
-    ovf_mask = ovf_r >= 0
-    ovf_r_c = jnp.maximum(
-        jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
-    op_o = jnp.dot(x_c[ovf_s], ws_c, preferred_element_type=jnp.float32) \
-        + jnp.dot(ovf_e.astype(cd), we_c,
-                  preferred_element_type=jnp.float32)
-    op_o = jnp.where(ovf_mask[:, None], op_o, _NEG)
-    inner_o = jax.ops.segment_max(op_o, ovf_r_c, num_segments=num_nodes,
-                                  indices_are_sorted=True)
+    # overflow: the SAME lowering as the kernel path (shared helper)
+    inner_o = dense_overflow_inner(x_c, ws_c, ovf_e.astype(cd), we_c,
+                                   ovf_s, ovf_r, num_nodes)
     inner = jnp.maximum(acc, inner_o)
     has = inner > _NEG / 2
     return jnp.where(has, offset + inner, 0.0)
@@ -184,25 +181,24 @@ def _fused_hoisted_max(num_nodes, x, w_s, w_e, offset, tiling,
             return _dense_xla_hoisted_max(num_nodes, x, w_s, w_e, offset,
                                           tiling, r_tile, k)
         precomp = _PRECOMP_EQ and x.shape[-1] >= _EQ_MIN_WIDTH
-        if tiling.ovft is not None and _OVF_SSUM:
-            # r5: the overflow backward's d_x lands through the
-            # sender-sorted segment-sum kernel instead of XLA scatter-add
+        # r5 experiment knobs compose: ovf_ssum (sender-sorted overflow
+        # d_x landing) needs the batch's ossum tiling; sender_dx applies
+        # in either mode
+        ossum_args = ()
+        use_ssum = tiling.ovft is not None and _OVF_SSUM
+        eot = 256
+        if use_ssum:
             os_perm, os_send, os_blocks = tiling.ovft
             eot = os_perm.shape[0] // os_blocks.shape[0]
-            fused = make_fused_dense_aggregate(
-                num_nodes, k, r_tile, tiling.node_block,
-                window_blocks=pmask.shape[0], bf16_max=bf16_max,
-                precomp_eq=precomp, ovf_ssum=True, ovf_edge_tile=eot)
-            return fused(x, w_s, tiling.edge_feat,
-                         w_e.astype(jnp.float32), offset, ovf_e, t_win,
-                         sloc, pmask, ovf_s, ovf_r, os_perm, os_send,
-                         os_blocks)
+            ossum_args = (os_perm, os_send, os_blocks)
         fused = make_fused_dense_aggregate(
             num_nodes, k, r_tile, tiling.node_block,
             window_blocks=pmask.shape[0], bf16_max=bf16_max,
-            precomp_eq=precomp, sender_dx=_SENDER_DX)
+            precomp_eq=precomp, ovf_ssum=use_ssum, ovf_edge_tile=eot,
+            sender_dx=_SENDER_DX)
         return fused(x, w_s, tiling.edge_feat, w_e.astype(jnp.float32),
-                     offset, ovf_e, t_win, sloc, pmask, ovf_s, ovf_r)
+                     offset, ovf_e, t_win, sloc, pmask, ovf_s, ovf_r,
+                     *ossum_args)
     if tiling.win is not None:
         # windowed fused path (v3): Morton-ordered nodes put every tile's
         # senders inside a small node window — the E-wide gather AND the

@@ -2175,6 +2175,28 @@ def make_fused_hoisted_aggregate_pallas_bwd(num_nodes: int,
 # fwd->bwd x_g streaming, and the fixed-budget XLA overflow path.
 # ---------------------------------------------------------------------------
 
+def dense_overflow_inner(x_c, w_s_c, e_ovf_c, w_e_c, ovf_s, ovf_r,
+                         num_nodes: int, ovf_sorted: bool = True):
+    """Shared XLA overflow aggregate of the dense (v4) family — used by
+    the kernel path's forward AND the narrow-layer XLA fallback
+    (models.layers._dense_xla_hoisted_max), so the sorted-lowering
+    semantics live in ONE place: gather the few overflow senders at node
+    width, mask dead slots to _NEG, cummax-fill the -1 padding so the
+    index vector stays sorted (ovf_sorted — see check_overflow_sorted),
+    and segment-max to raw per-node maxima (-inf for empty receivers)."""
+    ovf_mask = ovf_r >= 0
+    if ovf_sorted:
+        ovf_r_c = jnp.maximum(
+            jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
+    else:
+        ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
+    y = jnp.dot(x_c[ovf_s], w_s_c, preferred_element_type=jnp.float32) \
+        + jnp.dot(e_ovf_c, w_e_c, preferred_element_type=jnp.float32)
+    op_o = jnp.where(ovf_mask[:, None], y, _NEG)
+    return jax.ops.segment_max(op_o, ovf_r_c, num_segments=num_nodes,
+                               indices_are_sorted=ovf_sorted)
+
+
 def prepare_dense_knn_tiles(senders: np.ndarray, receivers: np.ndarray,
                             edge_mask: np.ndarray, num_nodes: int, k: int,
                             r_tile: int, node_block: int, window_blocks: int,
@@ -2668,23 +2690,13 @@ def make_fused_dense_aggregate(num_nodes: int, k: int, r_tile: int = 32,
             check_overflow_sorted(ovf_r, "fused dense aggregate (v4)")
         x_c = x.astype(gather_dtype)
         # overflow aggregate FIRST (small XLA segment-max over the fixed
-        # budget); the kernel epilogue combines it with the dense max and
-        # applies offset/empty-handling — no per-layer [N,H] XLA combine.
-        # The tiler emits overflow receiver-SORTED per graph with -1
-        # padding at each graph's tail; a running cummax maps padding onto
-        # the last valid receiver (masked rows carry _NEG, which never
-        # wins a max), keeping the index vector globally sorted so
-        # segment_max takes the sorted lowering instead of a scatter
-        ovf_mask = ovf_r >= 0
-        if ovf_sorted:
-            ovf_r_c = jnp.maximum(
-                jax.lax.cummax(jnp.where(ovf_mask, ovf_r, -1)), 0)
-        else:
-            ovf_r_c = jnp.where(ovf_mask, ovf_r, 0)
-        op_o = _ovf_operand(x, w_s, e_ovf, w_e, ovf_s, ovf_mask)
-        inner_o = jax.ops.segment_max(op_o, ovf_r_c,
-                                      num_segments=num_nodes,
-                                      indices_are_sorted=ovf_sorted)
+        # budget, dense_overflow_inner); the kernel epilogue combines it
+        # with the dense max and applies offset/empty-handling — no
+        # per-layer [N,H] XLA combine
+        inner_o = dense_overflow_inner(
+            x_c, w_s.astype(gather_dtype), e_ovf.astype(gather_dtype),
+            w_e.astype(gather_dtype), ovf_s, ovf_r, num_nodes,
+            ovf_sorted=ovf_sorted)
         res = _fused_fwd_call_v4(
             x_c, w_s.astype(gather_dtype), e_t.astype(gather_dtype),
             w_e.astype(gather_dtype), senders_local, tile_win, inner_o,

@@ -315,11 +315,15 @@ def test_fused_csr_tiling_from_config():
                                   fused_overflow_fraction=0.08)
     with _pytest.raises(ValueError):
         fused_csr_tiling(dense)
-    # dense pads the configured fraction by the over-degree spill (+0.03)
+    # dense pads the configured fraction by the over-degree spill (+0.03);
+    # ovf_ssum mirrors the (default-off) RADARGNN_FUSED_OVF_SSUM knob so
+    # the loader only builds the sender-sorted overflow tiling when its
+    # consumer is on
     assert fused_csr_tiling(dense, k=20) == {
         "mode": "dense", "node_block": FUSED_NODE_BLOCK,
         "r_tile": FUSED_DENSE_R_TILE, "k": 20 + FUSED_DENSE_EXTRA_SLOTS,
-        "window_blocks": FUSED_WINDOW_BLOCKS, "ovf_frac": 0.08 + 0.03}
+        "window_blocks": FUSED_WINDOW_BLOCKS, "ovf_ssum": False,
+        "ovf_frac": 0.08 + 0.03}
 
 
 def test_fused_csr_tiling_auto_mode():

@@ -1451,3 +1451,67 @@ def test_exact_split_decomposition_property():
     recon = h1.astype(jnp.float32) + (h2.astype(jnp.float32)
                                       + h3.astype(jnp.float32))
     np.testing.assert_array_equal(np.asarray(recon), vals)
+
+
+def test_dense_xla_fallback_matches(monkeypatch):
+    """_dense_xla_hoisted_max (the RADARGNN_FUSED_DENSE_XLA_MAX_WIDTH
+    narrow-layer fallback, measured -31% and default-off) must stay in
+    parity with the XLA formulation — forward and gradients — so the
+    env knob cannot silently corrupt results if the slot-layout contract
+    ever changes."""
+    import dataclasses
+
+    import jax
+
+    from radargnn_tpu.data.synthetic import make_samples, DEFAULT_GRAPH_CONFIG
+    from radargnn_tpu.graph.batch import stack_samples
+    from radargnn_tpu.models.layers import (
+        _dense_xla_hoisted_max,
+    )
+    from radargnn_tpu.ops.segment import hoisted_segment_max
+
+    k = 5
+    cfg = dataclasses.replace(
+        DEFAULT_GRAPH_CONFIG, graph_construction_settings={"k": k, "r": 1.0})
+    cfg.__post_init__()
+    samples = make_samples(num_frames=2, num_points=90, seed=3,
+                           graph_config=cfg)
+    dense = {"mode": "dense", "node_block": 32, "r_tile": 16, "k": k + 3,
+             "window_blocks": 2, "ovf_frac": 0.4}
+    batch = stack_samples(samples, max_nodes=96, bg_index=5,
+                          max_edges=96 * k, csr_tiling=dense)
+    tiling = batch.flat_tiling()
+    assert tiling is not None and tiling.dense is not None
+    r_tile, kk = tiling.dense
+    g, n = batch.node_mask.shape
+    num_nodes = g * n
+    d, h = batch.node_feat.shape[-1], 12
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(num_nodes, d)).astype(np.float32))
+    w_s = jnp.asarray(rng.normal(size=(d, h)).astype(np.float32) * 0.4)
+    de = batch.edge_feat.shape[-1]
+    w_e = jnp.asarray(rng.normal(size=(de, h)).astype(np.float32) * 0.4)
+    offset = jnp.asarray(rng.normal(size=(num_nodes, h)).astype(np.float32))
+
+    def f_fb(x_, w_s_, w_e_, off_):
+        return _dense_xla_hoisted_max(num_nodes, x_, w_s_, w_e_, off_,
+                                      tiling, r_tile, kk)
+
+    def f_xla(x_, w_s_, w_e_, off_):
+        senders = batch.flat_senders()
+        receivers = batch.flat_receivers()
+        op = (x_ @ w_s_)[senders] + batch.flat_edges() @ w_e_
+        return hoisted_segment_max(op, receivers, num_nodes,
+                                   batch.edge_mask.reshape(-1), False, off_)
+
+    args = (x, w_s, w_e, offset)
+    np.testing.assert_allclose(np.asarray(f_fb(*args)),
+                               np.asarray(f_xla(*args)),
+                               rtol=1e-4, atol=1e-4)
+    g_f = jax.grad(lambda *a: (f_fb(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(
+        *args)
+    g_x = jax.grad(lambda *a: (f_xla(*a) ** 2).sum(), argnums=(0, 1, 2, 3))(
+        *args)
+    for nm, a, b in zip(("x", "w_s", "w_e", "offset"), g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3, err_msg=nm)
